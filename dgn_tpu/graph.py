@@ -1,0 +1,269 @@
+"""GraphBatch: the static-shape batched-graph container at the heart of dgn_tpu.
+
+TPU-first design: instead of DGL's dynamic object graph + degree-bucketed mailboxes
+(reference: /root/reference/realworld_benchmark/nets/dgn_layer.py:115 `g.update_all`,
+/root/reference/realworld_benchmark/data/molecules.py:219-230 `collate`), we pack a
+list of small graphs into ONE flat, padded, fixed-shape struct:
+
+  * node arrays  [N_pad, ...]  (features, eig vectors, per-node graph id, mask, degree)
+  * edge arrays  [E_pad, ...]  (COO src/dst indices into the flat node axis, mask)
+  * graph arrays [G_pad, ...]  (labels, node counts, mask)
+
+All shapes are static per bucket -> XLA compiles once per bucket signature.
+Padding is handled by explicit boolean masks; padded edges carry src=dst=0 with
+mask False and are neutralized inside every segment reduction.  The true
+in-degree is carried explicitly (`in_degree`) because the reference's scalers
+use the real mailbox depth (reference nets/dgn_layer.py:96 `D = h.shape[-2]`),
+which padding must never distort.
+
+`snorm_n` / `snorm_e` replicate the reference collate normalizers
+sqrt(1/num_nodes) / sqrt(1/num_edges) per graph
+(reference data/molecules.py:219-228).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _field(**kw):
+    return dataclasses.field(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """A batch of graphs packed into flat padded arrays (a JAX pytree).
+
+    Axes: N = padded node count, E = padded edge count, G = padded graph count.
+    """
+
+    # --- node axis [N, ...] ---
+    node_feat: jax.Array            # [N] int32 (categorical) or [N, F] float
+    node_mask: jax.Array            # [N] bool, True for real nodes
+    node_graph: jax.Array           # [N] int32, graph id per node (pad -> G-1 slot ok, masked)
+    eig: jax.Array                  # [N, K] float32 Laplacian eigvec features ('eig' ndata)
+    in_degree: jax.Array            # [N] int32, true in-degree (0 for pad)
+    snorm_n: jax.Array              # [N, 1] float32, sqrt(1/n_nodes(graph_of(v)))
+
+    # --- edge axis [E, ...] ---
+    src: jax.Array                  # [E] int32 source node index
+    dst: jax.Array                  # [E] int32 destination node index
+    edge_mask: jax.Array            # [E] bool
+    edge_feat: Optional[jax.Array]  # [E] int32 or [E, Fe] float or None
+    snorm_e: jax.Array              # [E, 1] float32
+
+    # --- graph axis [G, ...] ---
+    graph_mask: jax.Array           # [G] bool
+    n_nodes: jax.Array              # [G] int32 true node count per graph
+    n_edges: jax.Array              # [G] int32
+    labels: Optional[jax.Array]     # [G, ...] task labels (graph-level) or None
+    node_labels: Optional[jax.Array] = None   # [N] int32 (node-level tasks) or None
+    pos_enc: Optional[jax.Array] = None       # [N, P] positional-encoding features or None
+
+    # ------------------------------------------------------------------ sizes
+    @property
+    def num_nodes_padded(self) -> int:
+        return self.node_mask.shape[0]
+
+    @property
+    def num_edges_padded(self) -> int:
+        return self.edge_mask.shape[0]
+
+    @property
+    def num_graphs_padded(self) -> int:
+        return self.graph_mask.shape[0]
+
+    def real_edge_count(self):
+        return jnp.sum(self.edge_mask.astype(jnp.int32))
+
+    def real_node_count(self):
+        return jnp.sum(self.node_mask.astype(jnp.int32))
+
+
+# =====================================================================
+# Host-side packing (numpy; feeds jit'd code with ready device arrays)
+# =====================================================================
+
+@dataclasses.dataclass
+class GraphData:
+    """One host-side graph: the minimal ingredients for packing.
+
+    Mirrors what the reference stores on a DGLGraph: ndata['feat'], ndata['eig'],
+    edata['feat'], edges COO (reference data/molecules.py:75-98).
+    """
+    num_nodes: int
+    src: np.ndarray                 # [e] int
+    dst: np.ndarray                 # [e] int
+    node_feat: np.ndarray           # [n] or [n, F]
+    eig: Optional[np.ndarray] = None          # [n, K]
+    edge_feat: Optional[np.ndarray] = None    # [e] or [e, Fe]
+    label: Optional[np.ndarray] = None        # graph label, any shape
+    node_labels: Optional[np.ndarray] = None  # [n]
+    pos_enc: Optional[np.ndarray] = None      # [n, P]
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.src)
+
+
+def pack_graphs(
+    graphs: Sequence[GraphData],
+    *,
+    n_pad: Optional[int] = None,
+    e_pad: Optional[int] = None,
+    g_pad: Optional[int] = None,
+    k_eig: Optional[int] = None,
+    sort_edges_by_dst: bool = True,
+) -> GraphBatch:
+    """Pack a list of graphs into one fixed-shape GraphBatch (numpy -> GraphBatch).
+
+    The moral equivalent of `dgl.batch` + the reference collate
+    (reference data/molecules.py:219-230), made shape-static: node/edge/graph
+    axes are padded to (n_pad, e_pad, g_pad).  Edges are optionally sorted by
+    destination so the segment reductions see monotone segment ids (required by
+    the Pallas kernels; also lets XLA use sorted segment reductions).
+    """
+    g = len(graphs)
+    tot_n = sum(gr.num_nodes for gr in graphs)
+    tot_e = sum(gr.num_edges for gr in graphs)
+    n_pad = int(n_pad if n_pad is not None else tot_n)
+    e_pad = int(e_pad if e_pad is not None else max(tot_e, 1))
+    g_pad = int(g_pad if g_pad is not None else g)
+    if tot_n > n_pad or tot_e > e_pad or g > g_pad:
+        raise ValueError(
+            f"pack overflow: need (n={tot_n}, e={tot_e}, g={g}) "
+            f"but pad sizes are (n={n_pad}, e={e_pad}, g={g_pad})")
+
+    if k_eig is None:
+        k_eig = graphs[0].eig.shape[1] if (graphs and graphs[0].eig is not None) else 0
+
+    nf0 = graphs[0].node_feat
+    nf_shape = (n_pad,) + tuple(nf0.shape[1:])
+    nf_dtype = nf0.dtype if nf0.dtype.kind == "f" else np.int32
+    node_feat = np.zeros(nf_shape, dtype=nf_dtype)
+    node_mask = np.zeros((n_pad,), dtype=bool)
+    node_graph = np.full((n_pad,), max(g_pad - 1, 0), dtype=np.int32)
+    eig = np.zeros((n_pad, k_eig), dtype=np.float32)
+    snorm_n = np.zeros((n_pad, 1), dtype=np.float32)
+
+    src = np.zeros((e_pad,), dtype=np.int32)
+    dst = np.zeros((e_pad,), dtype=np.int32)
+    edge_mask = np.zeros((e_pad,), dtype=bool)
+    snorm_e = np.zeros((e_pad, 1), dtype=np.float32)
+
+    has_ef = graphs[0].edge_feat is not None
+    if has_ef:
+        ef0 = graphs[0].edge_feat
+        ef_shape = (e_pad,) + tuple(ef0.shape[1:])
+        ef_dtype = ef0.dtype if ef0.dtype.kind == "f" else np.int32
+        edge_feat = np.zeros(ef_shape, dtype=ef_dtype)
+    else:
+        edge_feat = None
+
+    graph_mask = np.zeros((g_pad,), dtype=bool)
+    n_nodes = np.zeros((g_pad,), dtype=np.int32)
+    n_edges = np.zeros((g_pad,), dtype=np.int32)
+
+    has_label = graphs[0].label is not None
+    if has_label:
+        lb0 = np.asarray(graphs[0].label)
+        labels = np.zeros((g_pad,) + lb0.shape, dtype=np.float32 if lb0.dtype.kind == "f" else lb0.dtype)
+    else:
+        labels = None
+    has_nl = graphs[0].node_labels is not None
+    node_labels = np.zeros((n_pad,), dtype=np.int32) if has_nl else None
+    has_pe = graphs[0].pos_enc is not None
+    pos_enc = (np.zeros((n_pad, graphs[0].pos_enc.shape[1]), dtype=np.float32)
+               if has_pe else None)
+
+    n_off = 0
+    e_off = 0
+    for gi, gr in enumerate(graphs):
+        n, e = gr.num_nodes, gr.num_edges
+        sl_n = slice(n_off, n_off + n)
+        sl_e = slice(e_off, e_off + e)
+        node_feat[sl_n] = gr.node_feat
+        node_mask[sl_n] = True
+        node_graph[sl_n] = gi
+        if k_eig and gr.eig is not None:
+            eig[sl_n, : gr.eig.shape[1]] = gr.eig[:, :k_eig]
+        snorm_n[sl_n] = np.sqrt(1.0 / max(n, 1))
+        src[sl_e] = np.asarray(gr.src, dtype=np.int32) + n_off
+        dst[sl_e] = np.asarray(gr.dst, dtype=np.int32) + n_off
+        edge_mask[sl_e] = True
+        snorm_e[sl_e] = np.sqrt(1.0 / max(e, 1))
+        if has_ef:
+            edge_feat[sl_e] = gr.edge_feat
+        graph_mask[gi] = True
+        n_nodes[gi] = n
+        n_edges[gi] = e
+        if has_label:
+            labels[gi] = np.asarray(gr.label)
+        if has_nl:
+            node_labels[sl_n] = gr.node_labels
+        if has_pe:
+            pos_enc[sl_n] = gr.pos_enc
+        n_off += n
+        e_off += e
+
+    if sort_edges_by_dst:
+        # Stable sort real edges by dst; pad edges (dst=0, mask False) go first —
+        # push them to the end instead by sorting on (not mask, dst).
+        order = np.lexsort((src, dst, ~edge_mask))
+        src, dst, edge_mask, snorm_e = src[order], dst[order], edge_mask[order], snorm_e[order]
+        if has_ef:
+            edge_feat = edge_feat[order]
+
+    in_degree = np.zeros((n_pad,), dtype=np.int32)
+    np.add.at(in_degree, dst[edge_mask], 1)
+
+    return GraphBatch(
+        node_feat=jnp.asarray(node_feat),
+        node_mask=jnp.asarray(node_mask),
+        node_graph=jnp.asarray(node_graph),
+        eig=jnp.asarray(eig),
+        in_degree=jnp.asarray(in_degree),
+        snorm_n=jnp.asarray(snorm_n),
+        src=jnp.asarray(src),
+        dst=jnp.asarray(dst),
+        edge_mask=jnp.asarray(edge_mask),
+        edge_feat=None if edge_feat is None else jnp.asarray(edge_feat),
+        snorm_e=jnp.asarray(snorm_e),
+        graph_mask=jnp.asarray(graph_mask),
+        n_nodes=jnp.asarray(n_nodes),
+        n_edges=jnp.asarray(n_edges),
+        labels=None if labels is None else jnp.asarray(labels),
+        node_labels=None if node_labels is None else jnp.asarray(node_labels),
+        pos_enc=None if pos_enc is None else jnp.asarray(pos_enc),
+    )
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_sizes_for(
+    graphs: Sequence[GraphData],
+    batch_size: int,
+    *,
+    node_multiple: int = 128,
+    edge_multiple: int = 128,
+) -> tuple[int, int]:
+    """Choose (n_pad, e_pad) so any `batch_size` consecutive graphs fit.
+
+    Conservative static bucket: max over sliding windows, rounded up to
+    TPU-lane-friendly multiples so downstream kernels tile cleanly.
+    """
+    ns = np.array([g.num_nodes for g in graphs])
+    es = np.array([g.num_edges for g in graphs])
+    if len(graphs) <= batch_size:
+        return (round_up(int(ns.sum()) + 1, node_multiple),
+                round_up(int(max(es.sum(), 1)), edge_multiple))
+    cn = np.convolve(ns, np.ones(batch_size, dtype=int), "valid").max()
+    ce = np.convolve(es, np.ones(batch_size, dtype=int), "valid").max()
+    return (round_up(int(cn) + 1, node_multiple), round_up(int(ce), edge_multiple))

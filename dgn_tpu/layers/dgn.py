@@ -1,0 +1,275 @@
+"""DGN layers (simple / complex / towers) + VirtualNode over GraphBatch.
+
+Functional re-design of the reference DGL layers
+(/root/reference/realworld_benchmark/nets/dgn_layer.py).  The DGL
+apply_edges/update_all machinery becomes: gather node features per edge ->
+edgewise compute (pretrans MLP, directional weights) -> masked segment
+reductions (ops.aggregators) -> node MLP.  All shapes static; padding masked.
+
+Parity-critical quirks kept on purpose:
+  * scalers are applied ONLY when len(scalers) > 1 (nets/dgn_layer.py:95-96);
+  * residual silently disabled when in_dim != out_dim (nets/dgn_layer.py:76-77);
+  * towers: LeakyReLU mixing FCLayer applied only when >1 tower (:313-316);
+  * layer order: posttrans -> graph_norm (h*snorm_n) -> batchnorm -> relu ->
+    residual -> dropout (complex/simple); towers skip relu/residual inside the
+    tower (:268-276).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from ..graph import GraphBatch
+from ..nn import MLP, FCLayer, MaskedBatchNorm
+from ..ops import aggregators as agg_ops
+from ..ops import scalers as scaler_ops
+from ..ops import segment
+
+
+def _edge_aggregate(gb: GraphBatch, msg: jax.Array, h_in: jax.Array,
+                    agg_names: Sequence[str], scaler_names: Sequence[str],
+                    avg_d: Dict[str, float]) -> jax.Array:
+    """aggregators concat -> (scalers concat if >1) — the reduce_func
+    (reference nets/dgn_layer.py:86-98)."""
+    ctx = agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
+                                     gb.in_degree)
+    h = agg_ops.aggregate(tuple(agg_names), ctx, msg, h_in)
+    if len(scaler_names) > 1:
+        h = scaler_ops.apply_scalers(tuple(scaler_names), h, gb.in_degree, avg_d)
+    return h
+
+
+class DGNLayerSimple(fnn.Module):
+    """No pretrans; message = src features (reference nets/dgn_layer.py:135-202)."""
+    out_dim: int
+    aggregators: Tuple[str, ...]
+    scalers: Tuple[str, ...]
+    avg_d: Dict[str, float]
+    dropout: float = 0.0
+    graph_norm: bool = True
+    batch_norm: bool = True
+    residual: bool = True
+    posttrans_layers: int = 1
+
+    @fnn.compact
+    def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
+        in_dim = h.shape[-1]
+        residual = self.residual and (in_dim == self.out_dim)
+        h_in = h
+        msg = segment.gather(h, gb.src)
+        h = _edge_aggregate(gb, msg, h_in, self.aggregators, self.scalers,
+                            self.avg_d)
+        h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                layers=self.posttrans_layers, mid_activation="relu",
+                last_activation="none", name="posttrans")(
+                    h, gb.node_mask, deterministic)
+        if self.graph_norm:
+            h = h * gb.snorm_n
+        if self.batch_norm:
+            h = MaskedBatchNorm(self.out_dim, name="batchnorm_h")(
+                h, gb.node_mask, use_running_average=deterministic)
+        h = jax.nn.relu(h)
+        if residual:
+            h = h_in + h
+        if self.dropout > 0:
+            h = fnn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class DGNLayerComplex(fnn.Module):
+    """Pretrans MLP on [h_src || h_dst || e], input-concat posttrans
+    (reference nets/dgn_layer.py:52-132)."""
+    out_dim: int
+    aggregators: Tuple[str, ...]
+    scalers: Tuple[str, ...]
+    avg_d: Dict[str, float]
+    dropout: float = 0.0
+    graph_norm: bool = True
+    batch_norm: bool = True
+    residual: bool = True
+    edge_features: bool = False
+    pretrans_layers: int = 1
+    posttrans_layers: int = 1
+
+    @fnn.compact
+    def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
+        in_dim = h.shape[-1]
+        residual = self.residual and (in_dim == self.out_dim)
+        h_in = h
+        hs = segment.gather(h, gb.src)
+        hd = segment.gather(h, gb.dst)
+        z = jnp.concatenate([hs, hd, e], axis=-1) if self.edge_features else \
+            jnp.concatenate([hs, hd], axis=-1)
+        msg = MLP(hidden_size=in_dim, out_size=in_dim,
+                  layers=self.pretrans_layers, mid_activation="relu",
+                  last_activation="none", name="pretrans")(
+                      z, gb.edge_mask, deterministic)
+        h_agg = _edge_aggregate(gb, msg, h_in, self.aggregators, self.scalers,
+                                self.avg_d)
+        h = jnp.concatenate([h_in, h_agg], axis=-1)
+        h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                layers=self.posttrans_layers, mid_activation="relu",
+                last_activation="none", name="posttrans")(
+                    h, gb.node_mask, deterministic)
+        if self.graph_norm:
+            h = h * gb.snorm_n
+        if self.batch_norm:
+            h = MaskedBatchNorm(self.out_dim, name="batchnorm_h")(
+                h, gb.node_mask, use_running_average=deterministic)
+        h = jax.nn.relu(h)
+        if residual:
+            h = h_in + h
+        if self.dropout > 0:
+            h = fnn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class DGNTower(fnn.Module):
+    """One tower: complex-style conv, but posttrans -> graph_norm -> bn ->
+    dropout, NO relu/residual (reference nets/dgn_layer.py:205-276)."""
+    out_dim: int
+    aggregators: Tuple[str, ...]
+    scalers: Tuple[str, ...]
+    avg_d: Dict[str, float]
+    dropout: float = 0.0
+    graph_norm: bool = True
+    batch_norm: bool = True
+    edge_features: bool = False
+    pretrans_layers: int = 1
+    posttrans_layers: int = 1
+
+    @fnn.compact
+    def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
+        in_dim = h.shape[-1]
+        hs = segment.gather(h, gb.src)
+        hd = segment.gather(h, gb.dst)
+        z = jnp.concatenate([hs, hd, e], axis=-1) if self.edge_features else \
+            jnp.concatenate([hs, hd], axis=-1)
+        msg = MLP(hidden_size=in_dim, out_size=in_dim,
+                  layers=self.pretrans_layers, mid_activation="relu",
+                  last_activation="none", name="pretrans")(
+                      z, gb.edge_mask, deterministic)
+        h_agg = _edge_aggregate(gb, msg, h, self.aggregators, self.scalers,
+                                self.avg_d)
+        hcat = jnp.concatenate([h, h_agg], axis=-1)
+        out = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                  layers=self.posttrans_layers, mid_activation="relu",
+                  last_activation="none", name="posttrans")(
+                      hcat, gb.node_mask, deterministic)
+        if self.graph_norm:
+            out = out * gb.snorm_n
+        if self.batch_norm:
+            out = MaskedBatchNorm(self.out_dim, name="batchnorm_h")(
+                out, gb.node_mask, use_running_average=deterministic)
+        if self.dropout > 0:
+            out = fnn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class DGNLayerTower(fnn.Module):
+    """Multi-tower layer with input slicing + LeakyReLU mixing network
+    (reference nets/dgn_layer.py:279-325)."""
+    out_dim: int
+    aggregators: Tuple[str, ...]
+    scalers: Tuple[str, ...]
+    avg_d: Dict[str, float]
+    towers: int = 5
+    divide_input: bool = True
+    dropout: float = 0.0
+    graph_norm: bool = True
+    batch_norm: bool = True
+    residual: bool = False
+    edge_features: bool = False
+    pretrans_layers: int = 1
+    posttrans_layers: int = 1
+
+    @fnn.compact
+    def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
+        in_dim = h.shape[-1]
+        if self.divide_input and in_dim % self.towers != 0:
+            raise ValueError("towers must divide in_dim when divide_input")
+        if self.out_dim % self.towers != 0:
+            raise ValueError("towers must divide out_dim")
+        residual = self.residual and (in_dim == self.out_dim)
+        input_tower = in_dim // self.towers if self.divide_input else in_dim
+        output_tower = self.out_dim // self.towers
+
+        h_in = h
+        outs = []
+        for t in range(self.towers):
+            ht = (h[:, t * input_tower:(t + 1) * input_tower]
+                  if self.divide_input else h)
+            outs.append(DGNTower(
+                out_dim=output_tower, aggregators=self.aggregators,
+                scalers=self.scalers, avg_d=self.avg_d, dropout=self.dropout,
+                graph_norm=self.graph_norm, batch_norm=self.batch_norm,
+                edge_features=self.edge_features,
+                pretrans_layers=self.pretrans_layers,
+                posttrans_layers=self.posttrans_layers,
+                name=f"tower_{t}")(gb, ht, e, deterministic))
+        h_cat = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        if self.towers > 1:
+            h_out = FCLayer(self.out_dim, activation="leakyrelu",
+                            name="mixing")(h_cat, gb.node_mask, deterministic)
+        else:
+            h_out = h_cat
+        if residual:
+            h_out = h_in + h_out
+        return h_out
+
+
+class VirtualNode(fnn.Module):
+    """Graph-global virtual node (reference nets/dgn_layer.py:12-49).
+
+    State (vn_h, one row per graph) is threaded by the caller.  Pooling uses
+    masked per-graph segment reductions over the node axis.
+    """
+    dim: int
+    dropout: float = 0.0
+    batch_norm: bool = False
+    residual: bool = True
+    vn_type: str = "mean"
+
+    @fnn.compact
+    def __call__(self, gb: GraphBatch, h, vn_h, deterministic: bool = True):
+        g = gb.num_graphs_padded
+        if self.vn_type == "mean":
+            pool = segment.segment_mean(h, gb.node_graph, g, gb.node_mask,
+                                        gb.n_nodes, indices_are_sorted=True)
+        elif self.vn_type == "sum":
+            pool = segment.segment_sum(h, gb.node_graph, g, gb.node_mask,
+                                       indices_are_sorted=True)
+        elif self.vn_type == "logsum":
+            pool = segment.segment_mean(h, gb.node_graph, g, gb.node_mask,
+                                        gb.n_nodes, indices_are_sorted=True)
+            lognum = jnp.log(jnp.maximum(gb.n_nodes.astype(h.dtype), 1.0))
+            pool = pool * lognum[:, None]
+        else:
+            raise ValueError(f"bad vn_type {self.vn_type!r}")
+
+        vn_tmp = FCLayer(self.dim, activation="relu", dropout=self.dropout,
+                         b_norm=self.batch_norm, name="fc_layer")(
+                             vn_h + pool, gb.graph_mask, deterministic)
+        vn_h = vn_h + vn_tmp if self.residual else vn_tmp
+        h = h + segment.gather(vn_h, gb.node_graph)
+        return vn_h, h
+
+
+def make_dgn_layer(type_net: str, **kw) -> fnn.Module:
+    """Dispatcher mirroring DGNLayer(type_net=...) (reference nets/dgn_layer.py:328)."""
+    if type_net == "simple":
+        kw.pop("edge_features", None)
+        kw.pop("pretrans_layers", None)
+        kw.pop("towers", None)
+        kw.pop("divide_input", None)
+        return DGNLayerSimple(**kw)
+    if type_net == "complex":
+        kw.pop("towers", None)
+        kw.pop("divide_input", None)
+        return DGNLayerComplex(**kw)
+    if type_net == "towers":
+        return DGNLayerTower(**kw)
+    raise ValueError(f"unknown type_net {type_net!r}")

@@ -1,0 +1,157 @@
+"""Synthetic dataset generators mirroring the benchmark workloads' statistics.
+
+This zero-egress environment has no ZINC/SBM/superpixel pickles and no OGB
+downloads (the reference fetches them from Dropbox/OGB at run time,
+data/download_datasets.sh).  These generators produce graphs with the same
+shape statistics (node counts, degrees, feature spaces) and *learnable*
+structure-dependent targets, so end-to-end training, benchmarking, and tests
+exercise the exact compute path of the real workloads.  Real-data loaders in
+data/molecules.py etc. take over whenever files are present.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..graph import GraphData
+from .. import spectral
+
+
+def _random_molecule_graph(rng: np.random.Generator, n: int):
+    """Connected sparse graph, avg degree ~2.2 (molecule-like), both edge dirs."""
+    edges = set()
+    for v in range(1, n):
+        u = int(rng.integers(0, v))
+        edges.add((u, v))
+    extra = max(0, int(n * 0.12))
+    for _ in range(extra):
+        u, v = rng.integers(0, n, 2)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    und = sorted(edges)
+    src = np.array([u for u, v in und] + [v for u, v in und], np.int32)
+    dst = np.array([v for u, v in und] + [u for u, v in und], np.int32)
+    return src, dst
+
+
+def synthetic_zinc(num_graphs: int, seed: int = 0,
+                   num_atom_type: int = 28, num_bond_type: int = 4,
+                   k_eig: int = 6, norm: str = "none") -> List[GraphData]:
+    """ZINC-like molecules: 9..37 atoms, integer atom/bond types, scalar target.
+
+    Target = f(structure): mixes algebraic connectivity, mean degree, and atom
+    composition so a GNN (and especially directional aggregation) can learn it.
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(9, 38))
+        src, dst = _random_molecule_graph(rng, n)
+        atom = rng.integers(0, num_atom_type, size=(n,)).astype(np.int32)
+        bond_und = rng.integers(1, num_bond_type, size=(len(src) // 2,))
+        bond = np.concatenate([bond_und, bond_und]).astype(np.int32)
+        eig = spectral.graph_eig(n, src, dst, k_eig, norm)
+        deg = np.bincount(dst, minlength=n)
+        L = spectral.laplacian(n, src, dst, "sym")
+        lam = np.sort(np.linalg.eigvalsh(L))
+        target = (lam[1] * 2.0 + deg.mean() * 0.5
+                  + (atom < 5).mean() - 0.1 * n / 20.0)
+        out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=atom,
+                             eig=eig, edge_feat=bond,
+                             label=np.array([target], np.float32)))
+    return out
+
+
+def synthetic_sbm(num_graphs: int, seed: int = 0, n_classes: int = 2,
+                  nodes: int = 80, p_in: float = 0.2, p_out: float = 0.05,
+                  k_eig: int = 5, norm: str = "none",
+                  n_node_types: int = 3) -> List[GraphData]:
+    """PATTERN-like SBM node classification: blocks with int node features."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(nodes - 20, nodes + 20))
+        comm = rng.integers(0, n_classes, size=(n,)).astype(np.int32)
+        srcs, dsts = [], []
+        for u in range(n):
+            for v in range(u + 1, n):
+                p = p_in if comm[u] == comm[v] else p_out
+                if rng.random() < p:
+                    srcs += [u, v]
+                    dsts += [v, u]
+        if not srcs:
+            srcs, dsts = [0, 1], [1, 0]
+        src = np.array(srcs, np.int32)
+        dst = np.array(dsts, np.int32)
+        feat = rng.integers(0, n_node_types, size=(n,)).astype(np.int32)
+        eig = spectral.graph_eig(n, src, dst, k_eig, norm)
+        out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=feat,
+                             eig=eig, node_labels=comm,
+                             label=np.array([0.0], np.float32)))
+    return out
+
+
+def synthetic_superpixels(num_graphs: int, seed: int = 0, n_classes: int = 10,
+                          nodes: int = 75, knn: int = 8, feat_dim: int = 5,
+                          k_eig: int = 7, coord_eig: bool = False
+                          ) -> List[GraphData]:
+    """Superpixel-like graphs: random 2D coords, kNN(8) edges, gaussian edge
+    weights (reference data/superpixels.py:17-69), class = f(structure)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(nodes - 10, nodes + 10))
+        xy = rng.random((n, 2)).astype(np.float32)
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        k = min(knn, n - 1)
+        nbr = np.argsort(d2, axis=1)[:, :k]
+        src = np.repeat(np.arange(n, dtype=np.int32), k)
+        dst = nbr.reshape(-1).astype(np.int32)
+        sigma = np.sqrt(d2[d2 != np.inf]).mean() + 1e-8
+        w = np.exp(-np.sqrt(d2[src, dst]) / sigma).astype(np.float32)
+        feat = np.concatenate(
+            [rng.normal(size=(n, feat_dim - 2)).astype(np.float32), xy], axis=1)
+        if coord_eig:
+            # reference coord_eig mode: field = [0, x, y] (superpixels.py:423-428)
+            eig = np.concatenate([np.zeros((n, 1), np.float32), xy], axis=1)
+        else:
+            eig = spectral.graph_eig(n, src, dst, k_eig, "sym")
+        label = int((xy.mean() * 7919 + n) % n_classes)
+        out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=feat,
+                             eig=eig, edge_feat=w[:, None],
+                             label=np.array(label, np.int32)))
+    return out
+
+
+def synthetic_ogb_mol(num_graphs: int, seed: int = 0, n_tasks: int = 1,
+                      k_eig: int = 4, norm: str = "none",
+                      nan_frac: float = 0.0) -> List[GraphData]:
+    """ogbg-mol{hiv,pcba}-like: 9-col int atom features, 3-col bond features,
+    binary (or 128-task, NaN-sparse) labels derived from structure."""
+    from ..models.encoders import ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(10, 40))
+        src, dst = _random_molecule_graph(rng, n)
+        atom = np.stack([rng.integers(0, min(d, 8), size=(n,))
+                         for d in ATOM_FEATURE_DIMS], axis=1).astype(np.int32)
+        e_und = len(src) // 2
+        bond_u = np.stack([rng.integers(0, min(d, 4), size=(e_und,))
+                           for d in BOND_FEATURE_DIMS], axis=1)
+        bond = np.concatenate([bond_u, bond_u]).astype(np.int32)
+        eig = spectral.graph_eig(n, src, dst, k_eig, norm)
+        deg = np.bincount(dst, minlength=n)
+        score = deg.mean() + atom[:, 0].mean() * 0.3 + n * 0.02
+        if n_tasks == 1:
+            label = np.array([float(score > 2.8)], np.float32)
+        else:
+            thr = np.linspace(2.2, 3.4, n_tasks)
+            label = (score > thr).astype(np.float32)
+            if nan_frac > 0:
+                label[rng.random(n_tasks) < nan_frac] = np.nan
+        out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=atom,
+                             eig=eig, edge_feat=bond, label=label))
+    return out

@@ -254,16 +254,14 @@ def bucket_sizes_for(
     node_multiple: int = 128,
     edge_multiple: int = 128,
 ) -> tuple[int, int]:
-    """Choose (n_pad, e_pad) so any `batch_size` consecutive graphs fit.
+    """Choose (n_pad, e_pad) so ANY subset of `batch_size` graphs fits.
 
-    Conservative static bucket: max over sliding windows, rounded up to
-    TPU-lane-friendly multiples so downstream kernels tile cleanly.
+    Bound = sum of the batch_size largest graphs (safe under shuffling),
+    rounded up to TPU-lane-friendly multiples so downstream kernels tile
+    cleanly.
     """
-    ns = np.array([g.num_nodes for g in graphs])
-    es = np.array([g.num_edges for g in graphs])
-    if len(graphs) <= batch_size:
-        return (round_up(int(ns.sum()) + 1, node_multiple),
-                round_up(int(max(es.sum(), 1)), edge_multiple))
-    cn = np.convolve(ns, np.ones(batch_size, dtype=int), "valid").max()
-    ce = np.convolve(es, np.ones(batch_size, dtype=int), "valid").max()
-    return (round_up(int(cn) + 1, node_multiple), round_up(int(ce), edge_multiple))
+    ns = np.sort(np.array([g.num_nodes for g in graphs]))[::-1]
+    es = np.sort(np.array([g.num_edges for g in graphs]))[::-1]
+    cn = int(ns[:batch_size].sum())
+    ce = int(max(es[:batch_size].sum(), 1))
+    return (round_up(cn + 1, node_multiple), round_up(ce, edge_multiple))

@@ -53,6 +53,7 @@ class DGNLayerSimple(fnn.Module):
     batch_norm: bool = True
     residual: bool = True
     posttrans_layers: int = 1
+    bn_axis: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
@@ -69,7 +70,8 @@ class DGNLayerSimple(fnn.Module):
         if self.graph_norm:
             h = h * gb.snorm_n
         if self.batch_norm:
-            h = MaskedBatchNorm(self.out_dim, name="batchnorm_h")(
+            h = MaskedBatchNorm(self.out_dim, axis_name=self.bn_axis,
+                                name="batchnorm_h")(
                 h, gb.node_mask, use_running_average=deterministic)
         h = jax.nn.relu(h)
         if residual:
@@ -93,6 +95,7 @@ class DGNLayerComplex(fnn.Module):
     edge_features: bool = False
     pretrans_layers: int = 1
     posttrans_layers: int = 1
+    bn_axis: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
@@ -117,7 +120,8 @@ class DGNLayerComplex(fnn.Module):
         if self.graph_norm:
             h = h * gb.snorm_n
         if self.batch_norm:
-            h = MaskedBatchNorm(self.out_dim, name="batchnorm_h")(
+            h = MaskedBatchNorm(self.out_dim, axis_name=self.bn_axis,
+                                name="batchnorm_h")(
                 h, gb.node_mask, use_running_average=deterministic)
         h = jax.nn.relu(h)
         if residual:
@@ -140,6 +144,7 @@ class DGNTower(fnn.Module):
     edge_features: bool = False
     pretrans_layers: int = 1
     posttrans_layers: int = 1
+    bn_axis: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
@@ -162,7 +167,8 @@ class DGNTower(fnn.Module):
         if self.graph_norm:
             out = out * gb.snorm_n
         if self.batch_norm:
-            out = MaskedBatchNorm(self.out_dim, name="batchnorm_h")(
+            out = MaskedBatchNorm(self.out_dim, axis_name=self.bn_axis,
+                                  name="batchnorm_h")(
                 out, gb.node_mask, use_running_average=deterministic)
         if self.dropout > 0:
             out = fnn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
@@ -185,6 +191,7 @@ class DGNLayerTower(fnn.Module):
     edge_features: bool = False
     pretrans_layers: int = 1
     posttrans_layers: int = 1
+    bn_axis: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
@@ -208,7 +215,7 @@ class DGNLayerTower(fnn.Module):
                 graph_norm=self.graph_norm, batch_norm=self.batch_norm,
                 edge_features=self.edge_features,
                 pretrans_layers=self.pretrans_layers,
-                posttrans_layers=self.posttrans_layers,
+                posttrans_layers=self.posttrans_layers, bn_axis=self.bn_axis,
                 name=f"tower_{t}")(gb, ht, e, deterministic))
         h_cat = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         if self.towers > 1:
@@ -232,6 +239,7 @@ class VirtualNode(fnn.Module):
     batch_norm: bool = False
     residual: bool = True
     vn_type: str = "mean"
+    bn_axis: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, vn_h, deterministic: bool = True):
@@ -251,7 +259,8 @@ class VirtualNode(fnn.Module):
             raise ValueError(f"bad vn_type {self.vn_type!r}")
 
         vn_tmp = FCLayer(self.dim, activation="relu", dropout=self.dropout,
-                         b_norm=self.batch_norm, name="fc_layer")(
+                         b_norm=self.batch_norm, bn_axis=self.bn_axis,
+                         name="fc_layer")(
                              vn_h + pool, gb.graph_mask, deterministic)
         vn_h = vn_h + vn_tmp if self.residual else vn_tmp
         h = h + segment.gather(vn_h, gb.node_graph)

@@ -65,6 +65,8 @@ class DGNConfig:
     readout_L: int = 2
     # virtual node: none | mean | sum | logsum
     virtual_node: str = "none"
+    # sync-BN collective axis (set when training under shard_map DP)
+    bn_axis: Optional[str] = None
 
     def agg_names(self) -> Tuple[str, ...]:
         return tuple(agg_ops.parse_names(self.aggregators))
@@ -127,7 +129,7 @@ class DGNModel(fnn.Module):
             batch_norm=cfg.batch_norm, residual=cfg.residual,
             edge_features=cfg.edge_feat, pretrans_layers=cfg.pretrans_layers,
             posttrans_layers=cfg.posttrans_layers, towers=cfg.towers,
-            divide_input=cfg.divide_input,
+            divide_input=cfg.divide_input, bn_axis=cfg.bn_axis,
         )
         use_vn = cfg.virtual_node and cfg.virtual_node.lower() != "none"
         vn_h = jnp.zeros((gb.num_graphs_padded, cfg.hidden_dim), h.dtype)
@@ -140,7 +142,8 @@ class DGNModel(fnn.Module):
                 vn_h, h = VirtualNode(
                     dim=cfg.hidden_dim, dropout=cfg.dropout,
                     batch_norm=cfg.batch_norm, residual=cfg.residual,
-                    vn_type=cfg.virtual_node, name=f"virtual_node_{i}")(
+                    vn_type=cfg.virtual_node, bn_axis=cfg.bn_axis,
+                    name=f"virtual_node_{i}")(
                         gb, h, vn_h, deterministic)
 
         # ---- readout + head

@@ -96,10 +96,15 @@ class MaskedBatchNorm(fnn.Module):
     use_running_average=True -> eval mode (running stats).
     Mask semantics: only rows with mask True contribute to batch statistics;
     all rows are normalized (padded rows produce garbage that stays masked).
+
+    axis_name: when set (inside shard_map/pmap over that axis), statistics are
+    psum'd across devices — sync-BN, which makes data-parallel training
+    bitwise-consistent with the single-device run (SURVEY.md §7 hard part #5).
     """
     features: int
     momentum: float = 0.1          # torch convention: new = (1-m)*old + m*batch
     epsilon: float = 1e-5
+    axis_name: Optional[str] = None
 
     @fnn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None,
@@ -117,15 +122,19 @@ class MaskedBatchNorm(fnn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             if mask is None:
-                n = x.shape[0]
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean(jnp.square(x - mean), axis=0)
-                count = jnp.asarray(n, jnp.float32)
+                m = jnp.ones((x.shape[0], 1), x.dtype)
             else:
                 m = mask.astype(x.dtype)[:, None]
-                count = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / count
-                var = jnp.sum(jnp.square(x - mean) * m, axis=0) / count
+            count = jnp.sum(m)
+            s1 = jnp.sum(x * m, axis=0)
+            s2 = jnp.sum(jnp.square(x) * m, axis=0)
+            if self.axis_name is not None:
+                count = jax.lax.psum(count, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            count = jnp.maximum(count, 1.0)
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
@@ -161,6 +170,7 @@ class FCLayer(fnn.Module):
     dropout: float = 0.0
     b_norm: bool = False
     use_bias: bool = True
+    bn_axis: Optional[str] = None
 
     @fnn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None,
@@ -177,7 +187,7 @@ class FCLayer(fnn.Module):
         if self.dropout > 0.0:
             h = fnn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         if self.b_norm:
-            h = MaskedBatchNorm(self.out_size)(
+            h = MaskedBatchNorm(self.out_size, axis_name=self.bn_axis)(
                 h, mask=mask, use_running_average=deterministic)
         return h
 
@@ -192,20 +202,22 @@ class MLP(fnn.Module):
     dropout: float = 0.0
     mid_b_norm: bool = False
     last_b_norm: bool = False
+    bn_axis: Optional[str] = None
 
     @fnn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None,
                  deterministic: bool = True):
         if self.layers <= 1:
             return FCLayer(self.out_size, self.last_activation, self.dropout,
-                           self.last_b_norm)(x, mask, deterministic)
+                           self.last_b_norm, bn_axis=self.bn_axis)(
+                               x, mask, deterministic)
         x = FCLayer(self.hidden_size, self.mid_activation, self.dropout,
-                    self.mid_b_norm)(x, mask, deterministic)
+                    self.mid_b_norm, bn_axis=self.bn_axis)(x, mask, deterministic)
         for _ in range(self.layers - 2):
             x = FCLayer(self.hidden_size, self.mid_activation, self.dropout,
-                        self.mid_b_norm)(x, mask, deterministic)
+                        self.mid_b_norm, bn_axis=self.bn_axis)(x, mask, deterministic)
         return FCLayer(self.out_size, self.last_activation, self.dropout,
-                       self.last_b_norm)(x, mask, deterministic)
+                       self.last_b_norm, bn_axis=self.bn_axis)(x, mask, deterministic)
 
 
 class MLPReadout(fnn.Module):

@@ -1,0 +1,105 @@
+"""Distributed correctness: N-device DP step == 1-device step on same data."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgn_tpu.data import BatchLoader, synthetic
+from dgn_tpu.graph import pack_graphs
+from dgn_tpu.models import DGNConfig, zinc_model
+from dgn_tpu.parallel import DataParallelTrainer, StackedLoader, make_mesh
+from dgn_tpu.train.trainer import TrainParams, Trainer
+
+AVG_D = {"log": 1.1, "lin": 2.5}
+
+
+def _setup(bn_axis=None):
+    cfg = DGNConfig(hidden_dim=12, out_dim=12, L=2, avg_d=AVG_D,
+                    aggregators="mean dir1-dx dir1-av",
+                    scalers="identity amplification attenuation",
+                    dropout=0.0, bn_axis=bn_axis)
+    return zinc_model(cfg)
+
+
+def test_dp_step_matches_single_device():
+    graphs = synthetic.synthetic_zinc(16, seed=11)
+    params = TrainParams(seed=41, batch_size=16, init_lr=1e-3,
+                         weight_decay=3e-6)
+    d = 8
+
+    # ---- single device: one batch with all 16 graphs
+    model1, loss1 = _setup(bn_axis=None)
+    tr1 = Trainer(model1, loss1, params, task="zinc", donate=False)
+    n_pad1, e_pad1 = 8 * 128, 8 * 256
+    gb_all = pack_graphs(graphs, n_pad=n_pad1, e_pad=e_pad1, g_pad=16)
+    state1 = tr1.init_state(gb_all)
+
+    # ---- 8 devices: 2 graphs per shard (round-robin like StackedLoader)
+    mesh = make_mesh(d, ("dp",))
+    model8, loss8 = _setup(bn_axis="dp")
+    tr8 = DataParallelTrainer(model8, loss8, params, mesh, task="zinc")
+    loader = StackedLoader(graphs, per_device_batch=2, n_shards=d, mesh=mesh,
+                           n_pad=128, e_pad=256)
+    gb_stacked = next(iter(loader))
+    # identical initial params (same model structure/seed)
+    state8 = tr8.init_state(
+        jax.tree_util.tree_map(lambda x: x[0], gb_stacked))
+    chex_equal = jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state1.params, state8.params)
+    del chex_equal
+
+    # one train step each (dropout/augment off; rngs irrelevant)
+    lr = jnp.asarray(params.init_lr, jnp.float32)
+    rng1 = jax.random.PRNGKey(0)
+    state1b, loss_v1, _ = tr1._train_step(state1, gb_all, rng1, lr)
+    rngs = jax.random.split(jax.random.PRNGKey(0), d)
+    state8b, loss_v8, _ = tr8._train_step(state8, gb_stacked, rngs, lr)
+
+    assert abs(float(loss_v1) - float(loss_v8)) < 1e-5, (loss_v1, loss_v8)
+    flat1 = jax.tree_util.tree_leaves(state1b.params)
+    flat8 = jax.tree_util.tree_leaves(state8b.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5)
+    # sync-BN running stats must match the global-batch stats
+    bs1 = jax.tree_util.tree_leaves(state1b.batch_stats)
+    bs8 = jax.tree_util.tree_leaves(state8b.batch_stats)
+    for a, b in zip(bs1, bs8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5)
+
+
+def test_dp_epoch_runs_and_learns():
+    graphs = synthetic.synthetic_zinc(64, seed=3)
+    mesh = make_mesh(4, ("dp",))
+    model, loss_fn = _setup(bn_axis="dp")
+    params = TrainParams(seed=41, epochs=4, batch_size=8, init_lr=5e-3,
+                         lr_schedule_patience=50, print_epoch_interval=100)
+    tr = DataParallelTrainer(model, loss_fn, params, mesh, task="zinc")
+    loader = StackedLoader(graphs, per_device_batch=4, n_shards=4, mesh=mesh,
+                           shuffle=True, seed=0)
+    gb0 = next(iter(loader))
+    state = tr.init_state(jax.tree_util.tree_map(lambda x: x[0], gb0))
+    first = None
+    for epoch in range(4):
+        state, m = tr.train_epoch(state, loader, epoch)
+        if first is None:
+            first = m["mae"]
+    assert m["mae"] < first, (first, m["mae"])
+    ev = tr.evaluate(state, loader)
+    assert np.isfinite(ev["mae"])
+
+
+def test_dp_handles_ragged_last_superbatch():
+    graphs = synthetic.synthetic_zinc(10, seed=5)   # 10 graphs, 4x2=8 per super
+    mesh = make_mesh(4, ("dp",))
+    model, loss_fn = _setup(bn_axis="dp")
+    params = TrainParams(seed=41, batch_size=8, print_epoch_interval=100)
+    tr = DataParallelTrainer(model, loss_fn, params, mesh, task="zinc")
+    loader = StackedLoader(graphs, per_device_batch=2, n_shards=4, mesh=mesh)
+    gb0 = next(iter(loader))
+    state = tr.init_state(jax.tree_util.tree_map(lambda x: x[0], gb0))
+    state, m = tr.train_epoch(state, loader, 0)
+    assert np.isfinite(m["loss"])

@@ -18,7 +18,8 @@ class BatchLoader:
     def __init__(self, graphs: Sequence[GraphData], batch_size: int,
                  shuffle: bool = False, seed: int = 0,
                  n_pad: Optional[int] = None, e_pad: Optional[int] = None,
-                 drop_last: bool = False, packer=None):
+                 drop_last: bool = False, packer=None,
+                 kernel_layout: bool = False):
         self.graphs = list(graphs)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -31,6 +32,7 @@ class BatchLoader:
         self.g_pad = batch_size
         self.drop_last = drop_last
         self.packer = packer  # optional native packer (runtime/)
+        self.kernel_layout = kernel_layout
 
     def __len__(self):
         n = len(self.graphs)
@@ -49,4 +51,5 @@ class BatchLoader:
                 return
             batch = [self.graphs[j] for j in chunk]
             yield pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
-                              g_pad=self.g_pad)
+                              g_pad=self.g_pad,
+                              kernel_layout=self.kernel_layout)

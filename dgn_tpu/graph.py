@@ -64,6 +64,8 @@ class GraphBatch:
     labels: Optional[jax.Array]     # [G, ...] task labels (graph-level) or None
     node_labels: Optional[jax.Array] = None   # [N] int32 (node-level tasks) or None
     pos_enc: Optional[jax.Array] = None       # [N, P] positional-encoding features or None
+    # optional Pallas kernel edge layout (ops/pallas/segment_kernels.py)
+    kernel_layout: Optional[object] = None
 
     # ------------------------------------------------------------------ sizes
     @property
@@ -119,6 +121,7 @@ def pack_graphs(
     g_pad: Optional[int] = None,
     k_eig: Optional[int] = None,
     sort_edges_by_dst: bool = True,
+    kernel_layout: bool = False,
 ) -> GraphBatch:
     """Pack a list of graphs into one fixed-shape GraphBatch (numpy -> GraphBatch).
 
@@ -222,6 +225,11 @@ def pack_graphs(
     in_degree = np.zeros((n_pad,), dtype=np.int32)
     np.add.at(in_degree, dst[edge_mask], 1)
 
+    layout = None
+    if kernel_layout:
+        from .ops.pallas.segment_kernels import build_block_layout
+        layout = build_block_layout(dst, edge_mask, n_pad)
+
     return GraphBatch(
         node_feat=jnp.asarray(node_feat),
         node_mask=jnp.asarray(node_mask),
@@ -240,6 +248,7 @@ def pack_graphs(
         labels=None if labels is None else jnp.asarray(labels),
         node_labels=None if node_labels is None else jnp.asarray(node_labels),
         pos_enc=None if pos_enc is None else jnp.asarray(pos_enc),
+        kernel_layout=layout,
     )
 
 

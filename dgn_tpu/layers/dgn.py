@@ -34,9 +34,11 @@ def _edge_aggregate(gb: GraphBatch, msg: jax.Array, h_in: jax.Array,
                     avg_d: Dict[str, float]) -> jax.Array:
     """aggregators concat -> (scalers concat if >1) — the reduce_func
     (reference nets/dgn_layer.py:86-98)."""
+    layout = gb.kernel_layout
     ctx = agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
-                                     gb.in_degree)
-    h = agg_ops.aggregate(tuple(agg_names), ctx, msg, h_in)
+                                     gb.in_degree, names=agg_names,
+                                     need_norms=layout is None)
+    h = agg_ops.aggregate(tuple(agg_names), ctx, msg, h_in, layout=layout)
     if len(scaler_names) > 1:
         h = scaler_ops.apply_scalers(tuple(scaler_names), h, gb.in_degree, avg_d)
     return h

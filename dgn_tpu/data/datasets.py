@@ -1,0 +1,417 @@
+"""Dataset registry: real on-disk loaders with synthetic fallback.
+
+Parses the exact raw formats the reference consumes (so a user can point
+`data_dir` at the same downloaded artifacts) and produces `GraphData` lists
+with the same per-dataset eigenvector conventions:
+
+  ZINC      molecules/{train,val,test}.pickle + .index  (benchmarking-gnns
+            molecule dicts: num_atom, atom_type[N], bond_type[NxN], target;
+            reference data/molecules.py:40-98), eig k=6 per `lap_norm`
+            (molecules.py:100-116), optional pos_enc = eig[:, 1:dim+1].
+  SBM_*     SBMs/{name}_{train,val,test}.pkl (DotDict records with dense W,
+            node_feat, node_label; reference data/SBMs.py:10-48), eig k=5.
+  MNIST /   superpixels/{mnist_75sp|cifar10_150sp}_{train,test}.pkl of
+  CIFAR10   (labels, sp_data) pairs; graphs built from gaussian-kernel
+            coord(+feature) distances with k-NN(8) sparsification
+            (superpixels.py:17-69), eig k=7 sym-norm + horizontal/vertical
+            axis sort (:346-420), or the raw-coordinate field [0, x, y]
+            (:423-428).
+  HIV/PCBA  OGB raw csv layout <data_dir>/ogbg_mol{hiv,pcba}/raw/*.csv.gz +
+            split/scaffold/*.csv.gz; graphs with <=5 nodes dropped
+            (HIV.py:55-58, PCBA.py:200-203), eig k=4 / k=3.
+
+When the files are absent the synthetic generators (data/synthetic.py) take
+over so every pipeline stays end-to-end runnable in a zero-egress sandbox.
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import gzip
+import io
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import spectral
+from ..config import DataParams
+from ..graph import GraphData
+from . import synthetic
+
+
+@dataclasses.dataclass
+class DatasetSplits:
+    name: str
+    train: List[GraphData]
+    val: List[GraphData]
+    test: List[GraphData]
+    meta: Dict
+
+    @property
+    def splits(self):
+        return {"train": self.train, "val": self.val, "test": self.test}
+
+
+# --------------------------------------------------------------- unpickling
+
+class _Record(dict):
+    """Attribute-dict shim standing in for the pickled DotDict class."""
+    __getattr__ = dict.__getitem__
+
+
+class _LenientUnpickler(pickle.Unpickler):
+    """Resolve the generator script's classes (DotDict etc.) without the
+    generating module being importable."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return _Record
+
+
+def _load_pickle(path: str):
+    with open(path, "rb") as f:
+        return _LenientUnpickler(f).load()
+
+
+def _to_numpy(x):
+    if hasattr(x, "detach"):          # torch tensor
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+# --------------------------------------------------------------------- ZINC
+
+def _zinc_split(data_dir: str, split: str, k_eig: int, norm: str,
+                cache: Optional[spectral.EigCache]) -> List[GraphData]:
+    with open(os.path.join(data_dir, f"{split}.pickle"), "rb") as f:
+        data = _LenientUnpickler(f).load()
+    index_path = os.path.join(data_dir, f"{split}.index")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            idx = [list(map(int, row)) for row in csv.reader(f)][0]
+        data = [data[i] for i in idx]
+    out = []
+    for mol in data:
+        n = int(mol["num_atom"])
+        atom = _to_numpy(mol["atom_type"]).astype(np.int32)
+        adj = _to_numpy(mol["bond_type"])
+        src, dst = np.nonzero(adj)
+        bond = adj[src, dst].astype(np.int32)
+        src = src.astype(np.int32)
+        dst = dst.astype(np.int32)
+        key = ("logP_SA_cycle_normalized"
+               if "logP_SA_cycle_normalized" in mol else
+               "logP_SASA_cycle_normalized")
+        label = np.array([float(_to_numpy(mol[key]))], np.float32)
+        eig = (cache.get(n, src, dst, k_eig, norm) if cache
+               else spectral.graph_eig(n, src, dst, k_eig, norm))
+        out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=atom,
+                             eig=eig, edge_feat=bond, label=label))
+    return out
+
+
+def load_zinc(dp: DataParams) -> DatasetSplits:
+    root = os.path.join(dp.data_dir, "molecules") if dp.data_dir else ""
+    cache = spectral.EigCache(dp.cache_dir or None)
+    k = 6  # molecules.py:199 get_eig(6, norm)
+    if root and os.path.exists(os.path.join(root, "train.pickle")):
+        splits = {s: _zinc_split(root, s, k, dp.lap_norm, cache)
+                  for s in ("train", "val", "test")}
+    else:
+        n = dp.synthetic_size
+        splits = {
+            "train": synthetic.synthetic_zinc(n, seed=1, k_eig=k,
+                                              norm=dp.lap_norm),
+            "val": synthetic.synthetic_zinc(max(n // 10, 16), seed=2,
+                                            k_eig=k, norm=dp.lap_norm),
+            "test": synthetic.synthetic_zinc(max(n // 10, 16), seed=3,
+                                             k_eig=k, norm=dp.lap_norm),
+        }
+    if dp.pos_enc_dim > 0:
+        for gs in splits.values():
+            for g in gs:
+                g.pos_enc = g.eig[:, 1:dp.pos_enc_dim + 1]
+    return DatasetSplits("ZINC", splits["train"], splits["val"],
+                         splits["test"],
+                         meta={"num_atom_type": 28, "num_bond_type": 4})
+
+
+# ---------------------------------------------------------------------- SBM
+
+def _sbm_split(path: str, k_eig: int, norm: str,
+               cache: Optional[spectral.EigCache]) -> List[GraphData]:
+    records = _load_pickle(path)
+    out = []
+    for rec in records:
+        W = _to_numpy(rec["W"] if isinstance(rec, dict) else rec.W)
+        feat = _to_numpy(rec["node_feat"] if isinstance(rec, dict)
+                         else rec.node_feat).astype(np.int32)
+        lab = _to_numpy(rec["node_label"] if isinstance(rec, dict)
+                        else rec.node_label).astype(np.int32)
+        src, dst = np.nonzero(W)
+        src = src.astype(np.int32)
+        dst = dst.astype(np.int32)
+        n = len(feat)
+        eig = (cache.get(n, src, dst, k_eig, norm) if cache
+               else spectral.graph_eig(n, src, dst, k_eig, norm))
+        out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=feat,
+                             eig=eig, node_labels=lab,
+                             label=np.array([0.0], np.float32)))
+    return out
+
+
+def load_sbm(name: str, dp: DataParams) -> DatasetSplits:
+    root = os.path.join(dp.data_dir, "SBMs") if dp.data_dir else ""
+    cache = spectral.EigCache(dp.cache_dir or None)
+    k = 5  # SBMs.py:158 _add_eig(5, norm)
+    paths = {s: os.path.join(root, f"{name}_{s}.pkl")
+             for s in ("train", "val", "test")}
+    if root and all(os.path.exists(p) for p in paths.values()):
+        splits = {s: _sbm_split(p, k, dp.lap_norm, cache)
+                  for s, p in paths.items()}
+    else:
+        n_classes = 2 if "PATTERN" in name.upper() else 6
+        n = dp.synthetic_size
+        splits = {
+            "train": synthetic.synthetic_sbm(max(n // 4, 8), seed=1,
+                                             n_classes=n_classes, k_eig=k,
+                                             norm=dp.lap_norm),
+            "val": synthetic.synthetic_sbm(max(n // 16, 4), seed=2,
+                                           n_classes=n_classes, k_eig=k,
+                                           norm=dp.lap_norm),
+            "test": synthetic.synthetic_sbm(max(n // 16, 4), seed=3,
+                                            n_classes=n_classes, k_eig=k,
+                                            norm=dp.lap_norm),
+        }
+    labels = np.concatenate([g.node_labels for g in splits["train"]])
+    meta = {"n_classes": int(labels.max()) + 1,
+            "num_node_types": int(max(int(np.max(
+                np.concatenate([g.node_feat for g in splits["train"]]))) + 1,
+                2))}
+    return DatasetSplits(name, splits["train"], splits["val"],
+                         splits["test"], meta=meta)
+
+
+# -------------------------------------------------------------- superpixels
+
+def _gaussian_knn_graph(coord: np.ndarray, feat: np.ndarray, knn: int = 8
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gaussian-kernel adjacency over coord+feature distances, k-NN
+    sparsified (reference superpixels.py:17-69)."""
+    n = coord.shape[0]
+    c_dist = np.linalg.norm(coord[:, None] - coord[None, :], axis=-1)
+    f_dist = np.linalg.norm(feat[:, None] - feat[None, :], axis=-1)
+
+    def sigma(d):
+        if n <= knn:
+            return np.ones((n, 1)) + 1e-8
+        kn = np.partition(d, knn, axis=-1)[:, knn::-1]
+        return kn.sum(1).reshape(n, 1) / knn + 1e-8
+
+    A = np.exp(-(c_dist / sigma(c_dist)) ** 2 - (f_dist / sigma(f_dist)) ** 2)
+    A = 0.5 * (A + A.T)
+    np.fill_diagonal(A, 0)
+    # top-(knn) neighbours per node, excluding self (compute_edges_list,
+    # kth = knn+1 incl. the zeroed diagonal)
+    kth = min(knn + 1, n)
+    srcs, dsts, vals = [], [], []
+    for i in range(n):
+        nbr = np.argsort(-A[i])[:kth - 1] if n <= 9 else \
+            np.argpartition(-A[i], kth - 1)[:kth - 1]
+        nbr = nbr[nbr != i]
+        srcs += [i] * len(nbr)
+        dsts += list(nbr)
+        vals += list(A[i, nbr])
+    return (np.array(srcs, np.int32), np.array(dsts, np.int32),
+            np.array(vals, np.float32))
+
+
+def _sort_eig(feat: np.ndarray, eig: np.ndarray) -> np.ndarray:
+    """Swap eig1/eig2 so eig1 tracks the image's horizontal axis
+    (reference superpixels.py:371-420).  Coordinates are the last two
+    feature columns."""
+    x, y = feat[:, -2], feat[:, -1]
+
+    def scores(v):
+        m = v > 0
+        hor = abs(int(np.sum(np.where(x[m] > 0.5, 1, -1))))
+        ver = abs(int(np.sum(np.where(y[m] > 0.5, 1, -1))))
+        return hor, ver
+
+    h1, v1 = scores(eig[:, 1])
+    h2, v2 = scores(eig[:, 2])
+    top = max(h1, v2, v1, h2)
+    if h1 == top or v2 == top:
+        return eig
+    out = eig.copy()
+    out[:, 1], out[:, 2] = eig[:, 2], eig[:, 1]
+    return out
+
+
+def _superpix_split(path: str, img_size: int, coord_eig: bool,
+                    cache: Optional[spectral.EigCache]) -> List[GraphData]:
+    labels, sp_data = _load_pickle(path)
+    out = []
+    for label, sample in zip(labels, sp_data):
+        mean_px, coord = sample[:2]
+        mean_px = _to_numpy(mean_px)
+        coord = _to_numpy(coord) / img_size
+        n = coord.reshape(-1, 2).shape[0]
+        mean_px = mean_px.reshape(n, -1)
+        coord = coord.reshape(n, 2)
+        src, dst, w = _gaussian_knn_graph(coord, mean_px)
+        feat = np.concatenate([mean_px, coord], axis=1).astype(np.float32)
+        if coord_eig:
+            eig = np.concatenate([np.zeros((n, 1), np.float32),
+                                  coord.astype(np.float32)], axis=1)
+        else:
+            # positional_encoding(g, 7): SYM-normalized Laplacian always
+            # (superpixels.py:352-354)
+            e = (cache.get(n, src, dst, 7, "sym") if cache
+                 else spectral.graph_eig(n, src, dst, 7, "sym"))
+            eig = _sort_eig(feat, e)
+        out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=feat,
+                             eig=eig, edge_feat=w[:, None],
+                             label=np.array(int(label), np.int32)))
+    return out
+
+
+def load_superpixels(name: str, dp: DataParams) -> DatasetSplits:
+    base = {"MNIST": ("mnist_75sp", 28), "CIFAR10": ("cifar10_150sp", 32)}
+    stem, img_size = base[name.upper()]
+    root = os.path.join(dp.data_dir, "superpixels") if dp.data_dir else ""
+    cache = spectral.EigCache(dp.cache_dir or None)
+    tr_path = os.path.join(root, f"{stem}_train.pkl")
+    if root and os.path.exists(tr_path):
+        full = _superpix_split(tr_path, img_size, dp.coord_eig, cache)
+        test = _superpix_split(os.path.join(root, f"{stem}_test.pkl"),
+                               img_size, dp.coord_eig, cache)
+        # benchmarking-gnns protocol: last 5000 train graphs become val
+        n_val = min(5000, max(len(full) // 10, 1))
+        train, val = full[:-n_val], full[-n_val:]
+    else:
+        n = dp.synthetic_size
+        nodes = 75 if name.upper() == "MNIST" else 150
+        feat_dim = 3 if name.upper() == "MNIST" else 5
+        train = synthetic.synthetic_superpixels(
+            n, seed=1, nodes=nodes, feat_dim=feat_dim,
+            coord_eig=dp.coord_eig)
+        val = synthetic.synthetic_superpixels(
+            max(n // 10, 8), seed=2, nodes=nodes, feat_dim=feat_dim,
+            coord_eig=dp.coord_eig)
+        test = synthetic.synthetic_superpixels(
+            max(n // 10, 8), seed=3, nodes=nodes, feat_dim=feat_dim,
+            coord_eig=dp.coord_eig)
+    if dp.proportion < 1.0 - 1e-5:
+        train = train[:int(len(train) * dp.proportion)]
+    in_dim = train[0].node_feat.shape[-1]
+    n_classes = int(max(int(g.label) for g in train + val + test)) + 1
+    return DatasetSplits(name, train, val, test,
+                         meta={"in_dim": in_dim, "n_classes": n_classes,
+                               "edge_dim": 1})
+
+
+# ----------------------------------------------------------------- OGB raw
+
+def _read_csv(path: str, dtype=np.int64) -> np.ndarray:
+    """OGB raw csv(.gz): headerless numeric rows; empty fields -> NaN."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        rows = [r for r in csv.reader(f)]
+    if dtype is np.float32:
+        arr = np.array([[np.nan if c == "" else float(c) for c in r]
+                        for r in rows], np.float32)
+        return arr
+    return np.array([[int(c) for c in r] for r in rows], dtype)
+
+
+def _find(path_base: str) -> Optional[str]:
+    for p in (path_base, path_base + ".gz"):
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _load_ogb_raw(root: str, k_eig: int, norm: str, n_tasks: int,
+                  cache: Optional[spectral.EigCache]) -> Dict[str, List[GraphData]]:
+    raw = os.path.join(root, "raw")
+    nn = _read_csv(_find(os.path.join(raw, "num-node-list.csv"))).reshape(-1)
+    ne = _read_csv(_find(os.path.join(raw, "num-edge-list.csv"))).reshape(-1)
+    edges = _read_csv(_find(os.path.join(raw, "edge.csv")))
+    nfeat = _read_csv(_find(os.path.join(raw, "node-feat.csv")))
+    efp = _find(os.path.join(raw, "edge-feat.csv"))
+    efeat = _read_csv(efp) if efp else None
+    labels = _read_csv(_find(os.path.join(raw, "graph-label.csv")),
+                       np.float32)
+    n_off = np.concatenate([[0], np.cumsum(nn)])
+    e_off = np.concatenate([[0], np.cumsum(ne)])
+    graphs = []
+    for i in range(len(nn)):
+        n = int(nn[i])
+        e0, e1 = e_off[i], e_off[i + 1]
+        src = edges[e0:e1, 0].astype(np.int32)
+        dst = edges[e0:e1, 1].astype(np.int32)
+        # OGB stores each undirected bond once; materialize both directions
+        src, dst = (np.concatenate([src, dst]), np.concatenate([dst, src]))
+        feat = nfeat[n_off[i]:n_off[i + 1]].astype(np.int32)
+        ef = (np.concatenate([efeat[e0:e1], efeat[e0:e1]]).astype(np.int32)
+              if efeat is not None else None)
+        lab = labels[i]
+        graphs.append((n, src, dst, feat, ef, lab))
+    split_dir = os.path.join(root, "split", "scaffold")
+    out = {}
+    for split, fname in (("train", "train"), ("val", "valid"),
+                         ("test", "test")):
+        idx = _read_csv(_find(os.path.join(split_dir, f"{fname}.csv"))
+                        ).reshape(-1)
+        gs = []
+        for i in idx:
+            n, src, dst, feat, ef, lab = graphs[int(i)]
+            if n <= 5:     # reference filters tiny graphs (HIV.py:55-58)
+                continue
+            eig = (cache.get(n, src, dst, k_eig, norm) if cache
+                   else spectral.graph_eig(n, src, dst, k_eig, norm))
+            gs.append(GraphData(num_nodes=n, src=src, dst=dst,
+                                node_feat=feat, eig=eig, edge_feat=ef,
+                                label=lab[:n_tasks]))
+        out[split] = gs
+    return out
+
+
+def load_ogb(name: str, dp: DataParams) -> DatasetSplits:
+    is_hiv = name.upper() == "HIV"
+    ogb_name = "ogbg_molhiv" if is_hiv else "ogbg_molpcba"
+    k = 4 if is_hiv else 3     # HIV.py:66 / PCBA.py:212
+    n_tasks = 1 if is_hiv else 128
+    root = os.path.join(dp.data_dir, ogb_name) if dp.data_dir else ""
+    cache = spectral.EigCache(dp.cache_dir or None)
+    if root and os.path.exists(os.path.join(root, "raw")):
+        splits = _load_ogb_raw(root, k, dp.lap_norm, n_tasks, cache)
+    else:
+        n = dp.synthetic_size
+        gen = lambda sz, seed: synthetic.synthetic_ogb_mol(
+            sz, seed=seed, n_tasks=n_tasks, k_eig=k, norm=dp.lap_norm,
+            nan_frac=0.0 if is_hiv else 0.3)
+        splits = {"train": gen(n, 1), "val": gen(max(n // 10, 16), 2),
+                  "test": gen(max(n // 10, 16), 3)}
+    return DatasetSplits(name, splits["train"], splits["val"],
+                         splits["test"], meta={"n_tasks": n_tasks})
+
+
+# ----------------------------------------------------------------- registry
+
+def load_dataset(name: str, dp: DataParams) -> DatasetSplits:
+    u = name.upper()
+    if u in ("ZINC", "ZINC-FULL"):
+        return load_zinc(dp)
+    if u.startswith("SBM"):
+        return load_sbm(u, dp)
+    if u in ("MNIST", "CIFAR10"):
+        return load_superpixels(u, dp)
+    if u in ("HIV", "PCBA"):
+        return load_ogb(u, dp)
+    raise ValueError(f"unknown dataset {name!r}")

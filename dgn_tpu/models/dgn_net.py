@@ -51,6 +51,10 @@ class DGNConfig:
     batch_norm: bool = True
     towers: int = 5
     divide_input: bool = True
+    # reference configs split this per position: divide_input_first applies
+    # to layers 0..L-2 (-> `divide_input`), divide_input_last to the final
+    # layer (None -> same as divide_input)
+    divide_input_last: Optional[bool] = None
     pretrans_layers: int = 1
     posttrans_layers: int = 1
     pos_enc_dim: int = 0
@@ -135,8 +139,11 @@ class DGNModel(fnn.Module):
         vn_h = jnp.zeros((gb.num_graphs_padded, cfg.hidden_dim), h.dtype)
         for i in range(cfg.L):
             out_dim = cfg.out_dim if i == cfg.L - 1 else cfg.hidden_dim
+            kw = dict(common)
+            if i == cfg.L - 1 and cfg.divide_input_last is not None:
+                kw["divide_input"] = cfg.divide_input_last
             layer = make_dgn_layer(cfg.type_net, out_dim=out_dim,
-                                   name=f"layer_{i}", **dict(common))
+                                   name=f"layer_{i}", **kw)
             h = layer(gb, h, e, deterministic)
             if use_vn and i < cfg.L - 1:
                 vn_h, h = VirtualNode(

@@ -1,0 +1,167 @@
+"""Unified experiment driver: `python -m dgn_tpu.run --config ... [flags]`.
+
+One entry point replaces the reference's five near-identical main_*.py
+scripts (reference realworld_benchmark/main_{molecules,SBMs_node_
+classification,superpixels,HIV,PCBA}.py); the task is inferred from the
+config's dataset.  Pipeline (reference main_molecules.py:159-307):
+
+  config (JSON + CLI overlay) -> dataset (real files or synthetic fallback)
+  -> avg_d degree stats over train -> inferred dims -> model factory
+  -> Trainer (Adam + ReduceLROnPlateau, seeded) -> epoch loop with val/test
+  eval, min-lr and max_time stops -> final train/val/test report
+  — plus checkpoint/resume and multi-device data parallelism the reference
+  lacks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def view_model_param(model, example_batch) -> int:
+    """Total trainable parameter count (reference main_molecules.py:53-60)."""
+    import jax
+    variables = model.init(jax.random.PRNGKey(41), example_batch,
+                           deterministic=True)
+    return sum(np.prod(np.shape(p))
+               for p in jax.tree_util.tree_leaves(variables["params"]))
+
+
+def pad_geometry(graphs, batch_size: int, multiple: int = 128):
+    """Static (n_pad, e_pad) for a batch: max-graph sizes x batch, rounded
+    up to a TPU-friendly multiple (+1 node slot for the ghost graph)."""
+    max_n = max(g.num_nodes for g in graphs)
+    max_e = max(g.num_edges for g in graphs)
+    rnd = lambda x: ((int(x) + multiple - 1) // multiple) * multiple
+    return rnd(batch_size * max_n + 1), rnd(max(batch_size * max_e, 1))
+
+
+def prepare(cfg, n_devices: int = 1):
+    """dataset + model + trainer wiring shared by run() and tests."""
+    import jax
+
+    from .data.datasets import load_dataset
+    from .data.loader import BatchLoader
+    from .graph import pack_graphs
+    from .models import MODEL_FACTORIES
+    from .ops.scalers import degree_stats
+    from .train.trainer import Trainer
+
+    ds = load_dataset(cfg.dataset, cfg.data)
+    task = cfg.task
+    np_cfg = cfg.net_params
+
+    # derived config from data (reference main_*.py:285-304)
+    degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
+                           for g in ds.train])
+    avg_d = degree_stats(degs)
+    np_cfg = dataclasses.replace(np_cfg, avg_d=avg_d)
+    if task == "sbm":
+        np_cfg = dataclasses.replace(np_cfg,
+                                     num_node_types=ds.meta["num_node_types"])
+    if task == "zinc":
+        np_cfg = dataclasses.replace(
+            np_cfg, num_node_types=ds.meta["num_atom_type"],
+            num_edge_types=ds.meta["num_bond_type"],
+            edge_dim=np_cfg.edge_dim or np_cfg.hidden_dim)
+    if task == "superpixels":
+        np_cfg = dataclasses.replace(
+            np_cfg, edge_dim=np_cfg.edge_dim or np_cfg.hidden_dim)
+    if cfg.data.pos_enc_dim > 0:
+        np_cfg = dataclasses.replace(np_cfg,
+                                     pos_enc_dim=cfg.data.pos_enc_dim)
+
+    factory = MODEL_FACTORIES[task]
+    if task == "sbm":
+        model, loss_fn = factory(np_cfg, ds.meta["n_classes"])
+    elif task == "superpixels":
+        model, loss_fn = factory(np_cfg, ds.meta["n_classes"])
+    else:
+        model, loss_fn = factory(np_cfg)
+
+    bs = cfg.params.batch_size
+    n_pad, e_pad = pad_geometry(ds.train + ds.val + ds.test, bs)
+    loaders = {}
+    if n_devices > 1:
+        from .parallel import DataParallelTrainer, StackedLoader, make_mesh
+        mesh = make_mesh(n_devices, ("dp",))
+        np_cfg = dataclasses.replace(np_cfg, bn_axis="dp")
+        if task == "sbm":
+            model, loss_fn = factory(np_cfg, ds.meta["n_classes"])
+        elif task == "superpixels":
+            model, loss_fn = factory(np_cfg, ds.meta["n_classes"])
+        else:
+            model, loss_fn = factory(np_cfg)
+        per_dev = max(bs // n_devices, 1)
+        n_pad, e_pad = pad_geometry(ds.train + ds.val + ds.test, per_dev)
+        trainer = DataParallelTrainer(model, loss_fn, cfg.params, mesh,
+                                      task=task)
+        for split, gs in ds.splits.items():
+            loaders[split] = StackedLoader(
+                gs, per_device_batch=per_dev, n_shards=n_devices, mesh=mesh,
+                n_pad=n_pad, e_pad=e_pad, shuffle=(split == "train"),
+                seed=cfg.params.seed)
+    else:
+        trainer = Trainer(model, loss_fn, cfg.params, task=task)
+        for split, gs in ds.splits.items():
+            loaders[split] = BatchLoader(gs, batch_size=bs,
+                                         shuffle=(split == "train"),
+                                         seed=cfg.params.seed,
+                                         n_pad=n_pad, e_pad=e_pad)
+    example = pack_graphs(ds.train[:min(bs, len(ds.train))],
+                          n_pad=n_pad, e_pad=e_pad, g_pad=bs)
+    return ds, model, loss_fn, trainer, loaders, example
+
+
+def run(argv=None):
+    from .config import config_from_args
+    from .train.checkpoint import Checkpointer
+
+    cfg, args = config_from_args(argv)
+    n_devices = args.n_devices or 1
+    print(f"[dgn_tpu] dataset={cfg.dataset} task={cfg.task} "
+          f"n_devices={n_devices}")
+    t0 = time.time()
+    ds, model, loss_fn, trainer, loaders, example = prepare(cfg, n_devices)
+    print(f"[dgn_tpu] data ready in {time.time() - t0:.1f}s "
+          f"(train/val/test = {len(ds.train)}/{len(ds.val)}/{len(ds.test)})")
+    n_param = view_model_param(model, example)
+    print(f"[dgn_tpu] MODEL/Total parameters: {n_param}")
+
+    state = trainer.init_state(example)
+    start_epoch = 0
+    checkpointer = None
+    if args.checkpoint:
+        checkpointer = Checkpointer(args.checkpoint)
+        if args.resume and checkpointer.latest_epoch() is not None:
+            state, start_epoch = checkpointer.restore(
+                state, scheduler=trainer.scheduler)
+            print(f"[dgn_tpu] resumed from epoch {start_epoch - 1}")
+
+    result = trainer.fit(state, loaders["train"], loaders["val"],
+                         loaders["test"], checkpointer=checkpointer,
+                         start_epoch=start_epoch)
+
+    final_train = trainer.evaluate(result["state"], loaders["train"])
+    final_val = trainer.evaluate(result["state"], loaders["val"])
+    final_test = trainer.evaluate(result["state"], loaders["test"])
+    report = {
+        "dataset": cfg.dataset,
+        "params": n_param,
+        "epochs_run": len(result["history"]),
+        "best_epoch": result["best_epoch"],
+        "final": {"train": final_train, "val": final_val,
+                  "test": final_test},
+        "test_at_best_val": result["test_at_best"],
+        "total_time_h": (time.time() - t0) / 3600.0,
+    }
+    print("[dgn_tpu] FINAL " + json.dumps(report, default=float))
+    return report
+
+
+if __name__ == "__main__":
+    run()

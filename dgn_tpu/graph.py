@@ -122,6 +122,7 @@ def pack_graphs(
     k_eig: Optional[int] = None,
     sort_edges_by_dst: bool = True,
     kernel_layout: bool = False,
+    native: Optional[bool] = None,
 ) -> GraphBatch:
     """Pack a list of graphs into one fixed-shape GraphBatch (numpy -> GraphBatch).
 
@@ -130,7 +131,19 @@ def pack_graphs(
     axes are padded to (n_pad, e_pad, g_pad).  Edges are optionally sorted by
     destination so the segment reductions see monotone segment ids (required by
     the Pallas kernels; also lets XLA use sorted segment reductions).
+
+    native: route the edge pipeline (offset + counting sort + degrees +
+    normalizers, and the Pallas block layout) through the C++ packer
+    (runtime/packer.cpp).  None = auto (use it when the library is
+    available); output is bit-identical to the numpy path.
     """
+    if native is None:
+        from . import runtime as _rt
+        native = _rt.available()
+    if native:
+        return _pack_graphs_native(
+            graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad, k_eig=k_eig,
+            sort_edges_by_dst=sort_edges_by_dst, kernel_layout=kernel_layout)
     g = len(graphs)
     tot_n = sum(gr.num_nodes for gr in graphs)
     tot_e = sum(gr.num_edges for gr in graphs)
@@ -245,6 +258,122 @@ def pack_graphs(
         graph_mask=jnp.asarray(graph_mask),
         n_nodes=jnp.asarray(n_nodes),
         n_edges=jnp.asarray(n_edges),
+        labels=None if labels is None else jnp.asarray(labels),
+        node_labels=None if node_labels is None else jnp.asarray(node_labels),
+        pos_enc=None if pos_enc is None else jnp.asarray(pos_enc),
+        kernel_layout=layout,
+    )
+
+
+def _pack_graphs_native(
+    graphs: Sequence[GraphData],
+    *,
+    n_pad: Optional[int],
+    e_pad: Optional[int],
+    g_pad: Optional[int],
+    k_eig: Optional[int],
+    sort_edges_by_dst: bool,
+    kernel_layout: bool,
+) -> GraphBatch:
+    """pack_graphs with the edge pipeline in C++ (runtime/packer.cpp):
+    one native pass does offsetting, (dst, src) counting sort, masks,
+    normalizers and in-degrees; features are packed with vectorized numpy
+    concatenates and permuted by the returned edge permutation."""
+    from . import runtime as rt
+
+    g = len(graphs)
+    n_nodes = np.array([gr.num_nodes for gr in graphs], np.int32)
+    n_edges_arr = np.array([gr.num_edges for gr in graphs], np.int32)
+    tot_n = int(n_nodes.sum())
+    tot_e = int(n_edges_arr.sum())
+    n_pad = int(n_pad if n_pad is not None else tot_n)
+    e_pad = int(e_pad if e_pad is not None else max(tot_e, 1))
+    g_pad = int(g_pad if g_pad is not None else g)
+    if tot_n > n_pad or tot_e > e_pad or g > g_pad:
+        raise ValueError(
+            f"pack overflow: need (n={tot_n}, e={tot_e}, g={g}) "
+            f"but pad sizes are (n={n_pad}, e={e_pad}, g={g_pad})")
+    if k_eig is None:
+        k_eig = graphs[0].eig.shape[1] if (graphs and graphs[0].eig is not None) else 0
+
+    src_cat = (np.concatenate([np.asarray(gr.src, np.int32) for gr in graphs])
+               if tot_e else np.zeros(0, np.int32))
+    dst_cat = (np.concatenate([np.asarray(gr.dst, np.int32) for gr in graphs])
+               if tot_e else np.zeros(0, np.int32))
+    ed = rt.pack_edges(n_nodes, n_edges_arr, src_cat, dst_cat,
+                       n_pad, e_pad, g_pad, sort_edges=sort_edges_by_dst)
+
+    # ---- vectorized feature packing
+    nf0 = graphs[0].node_feat
+    nf_dtype = nf0.dtype if nf0.dtype.kind == "f" else np.int32
+    node_feat = np.zeros((n_pad,) + tuple(nf0.shape[1:]), dtype=nf_dtype)
+    node_feat[:tot_n] = np.concatenate([gr.node_feat for gr in graphs])
+    eig = np.zeros((n_pad, k_eig), dtype=np.float32)
+    if k_eig and graphs[0].eig is not None:
+        off = 0
+        for gr in graphs:   # per-graph column pad (rare ragged k)
+            if gr.eig is not None:
+                w = min(gr.eig.shape[1], k_eig)
+                eig[off:off + gr.num_nodes, :w] = gr.eig[:, :w]
+            off += gr.num_nodes
+    perm = ed["perm"]
+    valid = perm >= 0
+    edge_feat = None
+    if graphs[0].edge_feat is not None:
+        ef_cat = np.concatenate([gr.edge_feat for gr in graphs]) if tot_e \
+            else np.zeros((0,) + np.shape(graphs[0].edge_feat)[1:])
+        ef_dtype = ef_cat.dtype if ef_cat.dtype.kind == "f" else np.int32
+        edge_feat = np.zeros((e_pad,) + tuple(ef_cat.shape[1:]), dtype=ef_dtype)
+        edge_feat[valid] = ef_cat[perm[valid]]
+
+    graph_mask = np.zeros((g_pad,), dtype=bool)
+    graph_mask[:g] = True
+    nn = np.zeros((g_pad,), np.int32)
+    nn[:g] = n_nodes
+    ne = np.zeros((g_pad,), np.int32)
+    ne[:g] = n_edges_arr
+    labels = None
+    if graphs[0].label is not None:
+        lb = np.stack([np.asarray(gr.label) for gr in graphs])
+        labels = np.zeros((g_pad,) + lb.shape[1:],
+                          dtype=np.float32 if lb.dtype.kind == "f" else lb.dtype)
+        labels[:g] = lb
+    node_labels = None
+    if graphs[0].node_labels is not None:
+        node_labels = np.zeros((n_pad,), dtype=np.int32)
+        node_labels[:tot_n] = np.concatenate(
+            [gr.node_labels for gr in graphs])
+    pos_enc = None
+    if graphs[0].pos_enc is not None:
+        pos_enc = np.zeros((n_pad, graphs[0].pos_enc.shape[1]), np.float32)
+        pos_enc[:tot_n] = np.concatenate([gr.pos_enc for gr in graphs])
+
+    layout = None
+    if kernel_layout:
+        from .ops.pallas.segment_kernels import (E_CHUNK, TILE_N, BlockLayout)
+        bperm, bvalid, ldst, chunk_block, visited = rt.block_layout(
+            ed["dst"], ed["edge_mask"], n_pad, TILE_N, E_CHUNK)
+        layout = BlockLayout(
+            perm=jnp.asarray(bperm), slot_valid=jnp.asarray(bvalid),
+            local_dst=jnp.asarray(ldst), chunk_block=jnp.asarray(chunk_block),
+            block_visited=jnp.asarray(visited),
+            n_blocks=(n_pad + TILE_N - 1) // TILE_N, e_packed=len(bperm))
+
+    return GraphBatch(
+        node_feat=jnp.asarray(node_feat),
+        node_mask=jnp.asarray(ed["node_mask"]),
+        node_graph=jnp.asarray(ed["node_graph"]),
+        eig=jnp.asarray(eig),
+        in_degree=jnp.asarray(ed["in_degree"]),
+        snorm_n=jnp.asarray(ed["snorm_n"]),
+        src=jnp.asarray(ed["src"]),
+        dst=jnp.asarray(ed["dst"]),
+        edge_mask=jnp.asarray(ed["edge_mask"]),
+        edge_feat=None if edge_feat is None else jnp.asarray(edge_feat),
+        snorm_e=jnp.asarray(ed["snorm_e"]),
+        graph_mask=jnp.asarray(graph_mask),
+        n_nodes=jnp.asarray(nn),
+        n_edges=jnp.asarray(ne),
         labels=None if labels is None else jnp.asarray(labels),
         node_labels=None if node_labels is None else jnp.asarray(node_labels),
         pos_enc=None if pos_enc is None else jnp.asarray(pos_enc),

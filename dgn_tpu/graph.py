@@ -36,6 +36,37 @@ def _field(**kw):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class HaloSpec:
+    """Edge-partitioned execution: where each halo node slot's owner lives.
+
+    Node axis layout under partitioning (parallel/halo.py):
+      [0, n_local)          this shard's own nodes (incl. padding)
+      [n_local, n_local+H)  halo slots — read-only copies of remote nodes
+
+    After every layer updates h, the halo region is stale; halo_refresh()
+    re-fetches it from the owners with one all_gather over `axis` (the
+    GNN analogue of ring-attention's block exchange, SURVEY.md §5).
+    """
+    halo_shard: jax.Array   # [H] int32 owner shard id per halo slot
+    halo_local: jax.Array   # [H] int32 owner-local node index
+    n_local: int = dataclasses.field(metadata=dict(static=True), default=0)
+    axis: str = dataclasses.field(metadata=dict(static=True), default="ep")
+
+
+def halo_refresh(h: jax.Array, spec: HaloSpec) -> jax.Array:
+    """Refresh the halo region of per-node array h from the owner shards.
+
+    Runs inside shard_map over spec.axis: all_gather the own-node region
+    (rides ICI), then gather each halo slot from its owner's copy.
+    """
+    own = h[: spec.n_local]
+    allh = jax.lax.all_gather(own, spec.axis)          # [P, n_local, ...]
+    halo = allh[spec.halo_shard, spec.halo_local]
+    return jnp.concatenate([own, halo], axis=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class GraphBatch:
     """A batch of graphs packed into flat padded arrays (a JAX pytree).
 
@@ -66,6 +97,8 @@ class GraphBatch:
     pos_enc: Optional[jax.Array] = None       # [N, P] positional-encoding features or None
     # optional Pallas kernel edge layout (ops/pallas/segment_kernels.py)
     kernel_layout: Optional[object] = None
+    # edge-partitioned execution: halo-region spec (parallel/halo.py)
+    halo: Optional[HaloSpec] = None
 
     # ------------------------------------------------------------------ sizes
     @property

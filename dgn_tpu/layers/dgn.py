@@ -259,6 +259,10 @@ class VirtualNode(fnn.Module):
             pool = pool * lognum[:, None]
         else:
             raise ValueError(f"bad vn_type {self.vn_type!r}")
+        if gb.halo is not None:
+            # edge-partitioned: per-graph pools are partial sums (division by
+            # the replicated n_nodes commutes with the psum)
+            pool = jax.lax.psum(pool, gb.halo.axis)
 
         vn_tmp = FCLayer(self.dim, activation="relu", dropout=self.dropout,
                          b_norm=self.batch_norm, bn_axis=self.bn_axis,

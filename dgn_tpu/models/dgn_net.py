@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from ..graph import GraphBatch
+from ..graph import GraphBatch, halo_refresh
 from ..nn import Embedding, Linear, MLPReadout
 from ..layers.dgn import VirtualNode, make_dgn_layer
 from ..ops import aggregators as agg_ops
@@ -138,6 +138,10 @@ class DGNModel(fnn.Module):
         use_vn = cfg.virtual_node and cfg.virtual_node.lower() != "none"
         vn_h = jnp.zeros((gb.num_graphs_padded, cfg.hidden_dim), h.dtype)
         for i in range(cfg.L):
+            if gb.halo is not None:
+                # edge-partitioned: pull fresh copies of remote (halo) node
+                # features from their owners before aggregating over them
+                h = halo_refresh(h, gb.halo)
             out_dim = cfg.out_dim if i == cfg.L - 1 else cfg.hidden_dim
             kw = dict(common)
             if i == cfg.L - 1 and cfg.divide_input_last is not None:
@@ -154,6 +158,8 @@ class DGNModel(fnn.Module):
                         gb, h, vn_h, deterministic)
 
         # ---- readout + head
+        if cfg.readout == "none":
+            return h     # raw node embeddings (link prediction, train/link_pred.py)
         if cfg.readout == "node":
             return MLPReadout(cfg.n_out, L=cfg.readout_L, name="MLP_layer")(h)
         hg = graph_readout(gb, h, cfg.readout)

@@ -7,6 +7,11 @@ h * eig1 / sum(|eig1|, dim=1, keepdim=True) where eig1 is the (N,1) column —
 that dim=1 sum is a no-op, so the weight reduces to sign(eig1) (and to 1 for
 'directional_abs').  We implement sign() directly, which matches the reference
 everywhere eig1 != 0 and avoids its 0/0 NaN.
+
+Edge-partitioned mode (gb.halo set): every shard holds a slice of the node
+axis, so per-graph reductions are partial — partials are psum/pmax'd over the
+partition axis, making the pooled features (and everything downstream)
+replicated across shards.
 """
 from __future__ import annotations
 
@@ -17,27 +22,42 @@ from ..graph import GraphBatch
 from ..ops import segment
 
 
+def _part_sum(gb: GraphBatch, h: jax.Array) -> jax.Array:
+    s = segment.segment_sum(h, gb.node_graph, gb.num_graphs_padded,
+                            gb.node_mask)
+    if gb.halo is not None:
+        s = jax.lax.psum(s, gb.halo.axis)
+    return s
+
+
+def _part_mean(gb: GraphBatch, h: jax.Array) -> jax.Array:
+    s = _part_sum(gb, h)
+    n = gb.n_nodes.astype(s.dtype)[:, None]
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), 0)
+
+
+def _part_max(gb: GraphBatch, h: jax.Array) -> jax.Array:
+    data = jnp.where(gb.node_mask[:, None], h, -jnp.inf)
+    m = jax.ops.segment_max(data, gb.node_graph, gb.num_graphs_padded,
+                            indices_are_sorted=True)
+    if gb.halo is not None:
+        m = jax.lax.pmax(m, gb.halo.axis)
+    return jnp.where(jnp.isfinite(m), m, 0)
+
+
 def graph_readout(gb: GraphBatch, h: jax.Array, kind: str) -> jax.Array:
-    g = gb.num_graphs_padded
     if kind == "sum":
-        return segment.segment_sum(h, gb.node_graph, g, gb.node_mask)
+        return _part_sum(gb, h)
     if kind == "max":
-        return segment.segment_max(h, gb.node_graph, g, gb.node_mask)
+        return _part_max(gb, h)
     if kind in ("mean", "default"):
-        return segment.segment_mean(h, gb.node_graph, g, gb.node_mask,
-                                    gb.n_nodes)
+        return _part_mean(gb, h)
     if kind == "directional":
         sgn = jnp.sign(gb.eig[:, 1:2])
-        dir_mean = segment.segment_mean(h * sgn, gb.node_graph, g,
-                                        gb.node_mask, gb.n_nodes)
-        h_mean = segment.segment_mean(h, gb.node_graph, g, gb.node_mask,
-                                      gb.n_nodes)
-        return jnp.concatenate([jnp.abs(dir_mean), h_mean], axis=-1)
+        return jnp.concatenate([jnp.abs(_part_mean(gb, h * sgn)),
+                                _part_mean(gb, h)], axis=-1)
     if kind == "directional_abs":
-        dir_mean = segment.segment_mean(h, gb.node_graph, g, gb.node_mask,
-                                        gb.n_nodes)
-        h_mean = segment.segment_mean(h, gb.node_graph, g, gb.node_mask,
-                                      gb.n_nodes)
-        return jnp.concatenate([dir_mean, h_mean], axis=-1)
+        return jnp.concatenate([_part_mean(gb, h), _part_mean(gb, h)],
+                               axis=-1)
     # reference falls through to mean for unknown kinds
-    return segment.segment_mean(h, gb.node_graph, g, gb.node_mask, gb.n_nodes)
+    return _part_mean(gb, h)

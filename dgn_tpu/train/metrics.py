@@ -97,6 +97,18 @@ def multitask_ap(scores: np.ndarray, labels: np.ndarray) -> float:
     return float(np.mean(aps)) if aps else float("nan")
 
 
+def accuracy_voc(logits: np.ndarray, labels: np.ndarray) -> float:
+    """Mean per-class recall x100, classes absent from targets skipped
+    (reference metrics.py:57-71 accuracy_VOC via nanmean of the confusion
+    diagonal)."""
+    return accuracy_sbm(logits, labels)
+
+
+def accuracy_citation(logits: np.ndarray, labels: np.ndarray) -> float:
+    """Plain accuracy fraction (reference metrics.py:30-34)."""
+    return float((logits.argmax(-1) == labels).mean())
+
+
 def hits_at_k(pos_scores: np.ndarray, neg_scores: np.ndarray, k: int) -> float:
     """OGB link-prediction Hits@K (reference
     train_COLLAB_edge_classification.py:115-145): fraction of positive edges

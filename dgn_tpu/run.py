@@ -142,9 +142,13 @@ def run(argv=None):
                 state, scheduler=trainer.scheduler)
             print(f"[dgn_tpu] resumed from epoch {start_epoch - 1}")
 
+    from .observe import MetricStream
+    import os
+    stream = MetricStream(os.path.join(cfg.out_dir, "metrics.jsonl"))
     result = trainer.fit(state, loaders["train"], loaders["val"],
                          loaders["test"], checkpointer=checkpointer,
-                         start_epoch=start_epoch)
+                         start_epoch=start_epoch, stream=stream)
+    stream.close()
 
     final_train = trainer.evaluate(result["state"], loaders["train"])
     final_val = trainer.evaluate(result["state"], loaders["val"])

@@ -144,14 +144,22 @@ class Trainer:
 
     # ------------------------------------------------------------- epochs
     def train_epoch(self, state: TrainState, loader, epoch: int):
+        from ..observe import Throughput
         p = self.p
         key = jax.random.PRNGKey((p.seed * 100003 + epoch) & 0x7FFFFFFF)
         acc = _MetricAccumulator(self.task)
+        tp = Throughput()
         lr = jnp.asarray(self.scheduler.lr, jnp.float32)
         for i, gb in enumerate(loader):
             key, sub = jax.random.split(key)
             state, loss, scores = self._train_step(state, gb, sub, lr)
             acc.add(gb, np.asarray(scores), float(loss))
+            tp.add_batch(gb)
+        r = tp.result()
+        self._last_throughput = {
+            "edges_per_s": round(r["edges_per_s"], 1),
+            "edge_padding_efficiency": round(r["edge_padding_efficiency"], 4),
+        }
         return state, acc.result()
 
     def evaluate(self, state: TrainState, loader):
@@ -164,7 +172,10 @@ class Trainer:
     # ------------------------------------------------------------- fit
     def fit(self, state: TrainState, train_loader, val_loader=None,
             test_loader=None, log: Callable[[str], None] = print,
-            checkpointer=None, start_epoch: int = 0) -> Dict[str, Any]:
+            checkpointer=None, start_epoch: int = 0,
+            stream=None) -> Dict[str, Any]:
+        """stream: optional observe.MetricStream receiving one 'epoch' record
+        per epoch (loss/metric/lr/edges-per-s/padding efficiency)."""
         p = self.p
         t0 = time.time()
         history = []
@@ -182,6 +193,11 @@ class Trainer:
                            time=time.time() - te0, train=train_m, val=val_m,
                            test=test_m)
                 history.append(row)
+                if stream is not None:
+                    stream.log("epoch", **{k: v for k, v in row.items()
+                                           if k != "time"},
+                               seconds=row["time"],
+                               **getattr(self, "_last_throughput", {}))
                 if val_m is not None:
                     obj = val_m["objective"]
                     # plateau scheduler steps on the minimized objective

@@ -99,6 +99,9 @@ class GraphBatch:
     kernel_layout: Optional[object] = None
     # edge-partitioned execution: halo-region spec (parallel/halo.py)
     halo: Optional[HaloSpec] = None
+    # block-diagonal MXU layout (ops/mxu.py): every gather/scatter on the
+    # hot path becomes a 128x128 one-hot batched matmul
+    mxu: Optional[object] = None
 
     # ------------------------------------------------------------------ sizes
     @property
@@ -155,6 +158,7 @@ def pack_graphs(
     k_eig: Optional[int] = None,
     sort_edges_by_dst: bool = True,
     kernel_layout: bool = False,
+    mxu_layout: bool = False,
     native: Optional[bool] = None,
 ) -> GraphBatch:
     """Pack a list of graphs into one fixed-shape GraphBatch (numpy -> GraphBatch).
@@ -170,6 +174,9 @@ def pack_graphs(
     (runtime/packer.cpp).  None = auto (use it when the library is
     available); output is bit-identical to the numpy path.
     """
+    if mxu_layout:
+        return _pack_graphs_mxu(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                                k_eig=k_eig)
     if native is None:
         from . import runtime as _rt
         native = _rt.available()
@@ -267,6 +274,11 @@ def pack_graphs(
         src, dst, edge_mask, snorm_e = src[order], dst[order], edge_mask[order], snorm_e[order]
         if has_ef:
             edge_feat = edge_feat[order]
+        # pad edges carry the LAST node id so the dst sequence is truly
+        # monotone — segment ops claim indices_are_sorted=True, and XLA:TPU
+        # is entitled to exploit it
+        src[~edge_mask] = n_pad - 1
+        dst[~edge_mask] = n_pad - 1
 
     in_degree = np.zeros((n_pad,), dtype=np.int32)
     np.add.at(in_degree, dst[edge_mask], 1)
@@ -335,6 +347,11 @@ def _pack_graphs_native(
                if tot_e else np.zeros(0, np.int32))
     ed = rt.pack_edges(n_nodes, n_edges_arr, src_cat, dst_cat,
                        n_pad, e_pad, g_pad, sort_edges=sort_edges_by_dst)
+    if sort_edges_by_dst:
+        # mirror the numpy path: pad edges -> last node id (true monotonicity)
+        pad = ~ed["edge_mask"]
+        ed["src"][pad] = n_pad - 1
+        ed["dst"][pad] = n_pad - 1
 
     # ---- vectorized feature packing
     nf0 = graphs[0].node_feat
@@ -416,6 +433,233 @@ def _pack_graphs_native(
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# =====================================================================
+# Block-diagonal MXU packing (ops/mxu.py layout)
+# =====================================================================
+
+_TILE = 128
+
+
+def _mxu_place(sizes: Sequence[int]) -> tuple[np.ndarray, int]:
+    """Node offsets such that no graph straddles a 128-node block boundary
+    (graphs >128 nodes are placed as-is; their edges get per-block-pair
+    chunks) and node blocks never mix graphs from two 128-graph blocks."""
+    offsets = np.zeros(len(sizes), np.int64)
+    cur = 0
+    for gi, n in enumerate(sizes):
+        if gi > 0 and gi % _TILE == 0:
+            cur = round_up(cur, _TILE)          # new graph block
+        if n <= _TILE and (cur % _TILE) + n > _TILE:
+            cur = round_up(cur, _TILE)          # doesn't fit the remainder
+        offsets[gi] = cur
+        cur += n
+    return offsets, round_up(cur, _TILE)
+
+
+def _mxu_edge_arrange(src: np.ndarray, dst: np.ndarray):
+    """Sort edges by (dst_block, src_block, dst, src) and pad every
+    (src_block, dst_block) run to whole 128-edge chunks.
+
+    Returns (order into the original edge arrays, pad mask False rows,
+    padded src, padded dst) with pad slots pointing at their chunk's block
+    starts (masked everywhere downstream)."""
+    db = dst // _TILE
+    sb = src // _TILE
+    order = np.lexsort((src, dst, sb, db))
+    src_s, dst_s = src[order], dst[order]
+    db_s, sb_s = db[order], sb[order]
+    # run boundaries on (db, sb)
+    if len(order):
+        new_run = np.ones(len(order), bool)
+        new_run[1:] = (db_s[1:] != db_s[:-1]) | (sb_s[1:] != sb_s[:-1])
+        run_starts = np.nonzero(new_run)[0]
+        run_ends = np.append(run_starts[1:], len(order))
+    else:
+        run_starts = run_ends = np.zeros(0, np.int64)
+    out_order, out_src, out_dst, out_valid = [], [], [], []
+    for s, e in zip(run_starts, run_ends):
+        k = e - s
+        padded = round_up(k, _TILE)
+        idx = np.full(padded, -1, np.int64)
+        idx[:k] = order[s:e]
+        ss = np.full(padded, sb_s[s] * _TILE, np.int32)
+        dd = np.full(padded, db_s[s] * _TILE, np.int32)
+        ss[:k] = src_s[s:e]
+        dd[:k] = dst_s[s:e]
+        v = np.zeros(padded, bool)
+        v[:k] = True
+        out_order.append(idx)
+        out_src.append(ss)
+        out_dst.append(dd)
+        out_valid.append(v)
+    if not out_order:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), np.zeros(0, bool))
+    return (np.concatenate(out_order), np.concatenate(out_src),
+            np.concatenate(out_dst), np.concatenate(out_valid))
+
+
+def mxu_bucket_sizes(graphs: Sequence["GraphData"], batch_size: int,
+                     slack: float = 1.05) -> tuple[int, int, int]:
+    """(n_pad, e_pad, g_pad) so any `batch_size` subset packs under the MXU
+    layout: simulate greedy placement on the worst (largest) graphs, then add
+    slack for shuffling variance.  pack raises on overflow, so a too-tight
+    estimate fails loudly, never silently."""
+    ns = np.sort(np.array([g.num_nodes for g in graphs]))[::-1][:batch_size]
+    _, n_used = _mxu_place(ns.tolist())
+    es = np.sort(np.array([g.num_edges for g in graphs]))[::-1][:batch_size]
+    n_blocks = n_used // _TILE
+    e_used = int(es.sum()) + (_TILE - 1) * max(n_blocks, 1)
+    n_pad = round_up(int(n_used * slack) + _TILE, _TILE)
+    e_pad = round_up(int(e_used * slack) + _TILE, _TILE)
+    return n_pad, e_pad, round_up(batch_size, _TILE)
+
+
+def _pack_graphs_mxu(
+    graphs: Sequence[GraphData],
+    *,
+    n_pad: Optional[int],
+    e_pad: Optional[int],
+    g_pad: Optional[int],
+    k_eig: Optional[int],
+) -> GraphBatch:
+    """pack_graphs under the block-diagonal MXU layout (ops/mxu.py).
+
+    Same GraphBatch semantics as the flat packing — node/edge/graph arrays,
+    masks, degrees, normalizers — but nodes are placed so graphs never cross
+    128-node blocks, edges are chunked per (src_block, dst_block), and the
+    graph axis is 128-aligned.  gb.mxu carries the block structure; gb.dst is
+    NOT globally sorted (segment ops must not claim sortedness).
+    """
+    from .ops.mxu import build_mxu_layout
+
+    g = len(graphs)
+    sizes = [gr.num_nodes for gr in graphs]
+    offsets, n_used = _mxu_place(sizes)
+    g_pad = round_up(int(g_pad if g_pad is not None else g), _TILE)
+    n_pad = int(n_pad if n_pad is not None else n_used)
+    if n_pad % _TILE:
+        raise ValueError(f"mxu n_pad must be a multiple of {_TILE}")
+    if n_used > n_pad or g > g_pad:
+        raise ValueError(f"mxu pack overflow: need (n={n_used}, g={g}) "
+                         f"but pad sizes are (n={n_pad}, g={g_pad})")
+    if k_eig is None:
+        k_eig = graphs[0].eig.shape[1] if (graphs and graphs[0].eig is not None) else 0
+
+    # ---- node/graph arrays at the block-aligned offsets
+    nf0 = graphs[0].node_feat
+    nf_dtype = nf0.dtype if nf0.dtype.kind == "f" else np.int32
+    node_feat = np.zeros((n_pad,) + tuple(nf0.shape[1:]), dtype=nf_dtype)
+    node_mask = np.zeros((n_pad,), dtype=bool)
+    node_graph = np.zeros((n_pad,), dtype=np.int32)
+    eig = np.zeros((n_pad, k_eig), dtype=np.float32)
+    snorm_n = np.zeros((n_pad, 1), dtype=np.float32)
+    has_nl = graphs[0].node_labels is not None
+    node_labels = np.zeros((n_pad,), dtype=np.int32) if has_nl else None
+    has_pe = graphs[0].pos_enc is not None
+    pos_enc = (np.zeros((n_pad, graphs[0].pos_enc.shape[1]), np.float32)
+               if has_pe else None)
+
+    graph_mask = np.zeros((g_pad,), dtype=bool)
+    n_nodes = np.zeros((g_pad,), dtype=np.int32)
+    n_edges = np.zeros((g_pad,), dtype=np.int32)
+    has_label = graphs[0].label is not None
+    if has_label:
+        lb0 = np.asarray(graphs[0].label)
+        labels = np.zeros((g_pad,) + lb0.shape,
+                          dtype=np.float32 if lb0.dtype.kind == "f" else lb0.dtype)
+    else:
+        labels = None
+
+    tot_e = sum(gr.num_edges for gr in graphs)
+    src_flat = np.zeros((tot_e,), np.int64)
+    dst_flat = np.zeros((tot_e,), np.int64)
+    e_graph = np.zeros((tot_e,), np.int32)
+    e_off = 0
+    for gi, gr in enumerate(graphs):
+        n, e = gr.num_nodes, gr.num_edges
+        off = int(offsets[gi])
+        sl_n = slice(off, off + n)
+        node_feat[sl_n] = gr.node_feat
+        node_mask[sl_n] = True
+        node_graph[sl_n] = gi
+        if k_eig and gr.eig is not None:
+            eig[sl_n, : gr.eig.shape[1]] = gr.eig[:, :k_eig]
+        snorm_n[sl_n] = np.sqrt(1.0 / max(n, 1))
+        if has_nl:
+            node_labels[sl_n] = gr.node_labels
+        if has_pe:
+            pos_enc[sl_n] = gr.pos_enc
+        graph_mask[gi] = True
+        n_nodes[gi] = n
+        n_edges[gi] = e
+        if has_label:
+            labels[gi] = np.asarray(gr.label)
+        src_flat[e_off:e_off + e] = np.asarray(gr.src, np.int64) + off
+        dst_flat[e_off:e_off + e] = np.asarray(gr.dst, np.int64) + off
+        e_graph[e_off:e_off + e] = gi
+        e_off += e
+    # pad nodes: keep node_graph monotone (flat segment ops may claim sorted)
+    run = np.maximum.accumulate(np.where(node_mask, node_graph, 0))
+    node_graph = np.where(node_mask, node_graph, run).astype(np.int32)
+
+    # ---- edge arrangement into (src_block, dst_block) chunks
+    order, src_p, dst_p, edge_valid = _mxu_edge_arrange(
+        src_flat.astype(np.int32), dst_flat.astype(np.int32))
+    e_used = len(src_p)
+    e_pad = int(e_pad if e_pad is not None else max(e_used, _TILE))
+    if e_pad % _TILE:
+        raise ValueError(f"mxu e_pad must be a multiple of {_TILE}")
+    if e_used > e_pad:
+        raise ValueError(f"mxu pack overflow: need e={e_used} "
+                         f"but e_pad={e_pad}")
+    src = np.full((e_pad,), n_pad - _TILE, np.int32)
+    dst = np.full((e_pad,), n_pad - _TILE, np.int32)
+    edge_mask = np.zeros((e_pad,), bool)
+    src[:e_used] = src_p
+    dst[:e_used] = dst_p
+    edge_mask[:e_used] = edge_valid
+    snorm_e = np.zeros((e_pad, 1), np.float32)
+    real = np.nonzero(edge_mask)[0]
+    eg = e_graph[order[edge_valid]]
+    snorm_e[real, 0] = np.sqrt(1.0 / np.maximum(n_edges[eg], 1))
+    has_ef = graphs[0].edge_feat is not None
+    edge_feat = None
+    if has_ef:
+        ef_cat = np.concatenate([np.asarray(gr.edge_feat) for gr in graphs]) \
+            if tot_e else np.zeros((0,) + np.shape(graphs[0].edge_feat)[1:])
+        ef_dtype = ef_cat.dtype if ef_cat.dtype.kind == "f" else np.int32
+        edge_feat = np.zeros((e_pad,) + tuple(ef_cat.shape[1:]), dtype=ef_dtype)
+        edge_feat[real] = ef_cat[order[edge_valid]]
+
+    in_degree = np.zeros((n_pad,), dtype=np.int32)
+    np.add.at(in_degree, dst[edge_mask], 1)
+
+    layout = build_mxu_layout(src, dst, edge_mask, node_graph, node_mask,
+                              n_pad, g_pad)
+
+    return GraphBatch(
+        node_feat=jnp.asarray(node_feat),
+        node_mask=jnp.asarray(node_mask),
+        node_graph=jnp.asarray(node_graph),
+        eig=jnp.asarray(eig),
+        in_degree=jnp.asarray(in_degree),
+        snorm_n=jnp.asarray(snorm_n),
+        src=jnp.asarray(src),
+        dst=jnp.asarray(dst),
+        edge_mask=jnp.asarray(edge_mask),
+        edge_feat=None if edge_feat is None else jnp.asarray(edge_feat),
+        snorm_e=jnp.asarray(snorm_e),
+        graph_mask=jnp.asarray(graph_mask),
+        n_nodes=jnp.asarray(n_nodes),
+        n_edges=jnp.asarray(n_edges),
+        labels=None if labels is None else jnp.asarray(labels),
+        node_labels=None if node_labels is None else jnp.asarray(node_labels),
+        pos_enc=None if pos_enc is None else jnp.asarray(pos_enc),
+        mxu=layout,
+    )
 
 
 def bucket_sizes_for(

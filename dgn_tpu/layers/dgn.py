@@ -25,20 +25,37 @@ from flax import linen as fnn
 from ..graph import GraphBatch
 from ..nn import MLP, FCLayer, MaskedBatchNorm
 from ..ops import aggregators as agg_ops
+from ..ops import mxu
 from ..ops import scalers as scaler_ops
 from ..ops import segment
 
 
+def _gather_src(gb: GraphBatch, h: jax.Array, compute_dtype=None) -> jax.Array:
+    """h[src] per edge — one-hot matmul under the MXU layout (backward is a
+    matmul instead of a scatter), plain gather otherwise."""
+    if gb.mxu is not None:
+        return mxu.gather_src(h, gb.mxu, compute_dtype)
+    return segment.gather(h, gb.src)
+
+
+def _gather_dst(gb: GraphBatch, h: jax.Array, compute_dtype=None) -> jax.Array:
+    if gb.mxu is not None:
+        return mxu.gather_dst(h, gb.mxu, compute_dtype)
+    return segment.gather(h, gb.dst)
+
+
 def _edge_aggregate(gb: GraphBatch, msg: jax.Array, h_in: jax.Array,
                     agg_names: Sequence[str], scaler_names: Sequence[str],
-                    avg_d: Dict[str, float]) -> jax.Array:
+                    avg_d: Dict[str, float], compute_dtype=None) -> jax.Array:
     """aggregators concat -> (scalers concat if >1) — the reduce_func
     (reference nets/dgn_layer.py:86-98)."""
-    layout = gb.kernel_layout
+    layout = gb.mxu if gb.mxu is not None else gb.kernel_layout
     ctx = agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
                                      gb.in_degree, names=agg_names,
-                                     need_norms=layout is None)
-    h = agg_ops.aggregate(tuple(agg_names), ctx, msg, h_in, layout=layout)
+                                     need_norms=layout is None,
+                                     mxu_layout=gb.mxu)
+    h = agg_ops.aggregate(tuple(agg_names), ctx, msg, h_in, layout=layout,
+                          compute_dtype=compute_dtype)
     if len(scaler_names) > 1:
         h = scaler_ops.apply_scalers(tuple(scaler_names), h, gb.in_degree, avg_d)
     return h
@@ -56,15 +73,16 @@ class DGNLayerSimple(fnn.Module):
     residual: bool = True
     posttrans_layers: int = 1
     bn_axis: str | None = None
+    compute_dtype: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
         in_dim = h.shape[-1]
         residual = self.residual and (in_dim == self.out_dim)
         h_in = h
-        msg = segment.gather(h, gb.src)
+        msg = _gather_src(gb, h, self.compute_dtype)
         h = _edge_aggregate(gb, msg, h_in, self.aggregators, self.scalers,
-                            self.avg_d)
+                            self.avg_d, self.compute_dtype)
         h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
                 layers=self.posttrans_layers, mid_activation="relu",
                 last_activation="none", name="posttrans")(
@@ -98,14 +116,15 @@ class DGNLayerComplex(fnn.Module):
     pretrans_layers: int = 1
     posttrans_layers: int = 1
     bn_axis: str | None = None
+    compute_dtype: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
         in_dim = h.shape[-1]
         residual = self.residual and (in_dim == self.out_dim)
         h_in = h
-        hs = segment.gather(h, gb.src)
-        hd = segment.gather(h, gb.dst)
+        hs = _gather_src(gb, h, self.compute_dtype)
+        hd = _gather_dst(gb, h, self.compute_dtype)
         z = jnp.concatenate([hs, hd, e], axis=-1) if self.edge_features else \
             jnp.concatenate([hs, hd], axis=-1)
         msg = MLP(hidden_size=in_dim, out_size=in_dim,
@@ -113,7 +132,7 @@ class DGNLayerComplex(fnn.Module):
                   last_activation="none", name="pretrans")(
                       z, gb.edge_mask, deterministic)
         h_agg = _edge_aggregate(gb, msg, h_in, self.aggregators, self.scalers,
-                                self.avg_d)
+                                self.avg_d, self.compute_dtype)
         h = jnp.concatenate([h_in, h_agg], axis=-1)
         h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
                 layers=self.posttrans_layers, mid_activation="relu",
@@ -147,12 +166,13 @@ class DGNTower(fnn.Module):
     pretrans_layers: int = 1
     posttrans_layers: int = 1
     bn_axis: str | None = None
+    compute_dtype: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
         in_dim = h.shape[-1]
-        hs = segment.gather(h, gb.src)
-        hd = segment.gather(h, gb.dst)
+        hs = _gather_src(gb, h, self.compute_dtype)
+        hd = _gather_dst(gb, h, self.compute_dtype)
         z = jnp.concatenate([hs, hd, e], axis=-1) if self.edge_features else \
             jnp.concatenate([hs, hd], axis=-1)
         msg = MLP(hidden_size=in_dim, out_size=in_dim,
@@ -160,7 +180,7 @@ class DGNTower(fnn.Module):
                   last_activation="none", name="pretrans")(
                       z, gb.edge_mask, deterministic)
         h_agg = _edge_aggregate(gb, msg, h, self.aggregators, self.scalers,
-                                self.avg_d)
+                                self.avg_d, self.compute_dtype)
         hcat = jnp.concatenate([h, h_agg], axis=-1)
         out = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
                   layers=self.posttrans_layers, mid_activation="relu",
@@ -194,6 +214,7 @@ class DGNLayerTower(fnn.Module):
     pretrans_layers: int = 1
     posttrans_layers: int = 1
     bn_axis: str | None = None
+    compute_dtype: str | None = None
 
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
@@ -218,6 +239,7 @@ class DGNLayerTower(fnn.Module):
                 edge_features=self.edge_features,
                 pretrans_layers=self.pretrans_layers,
                 posttrans_layers=self.posttrans_layers, bn_axis=self.bn_axis,
+                compute_dtype=self.compute_dtype,
                 name=f"tower_{t}")(gb, ht, e, deterministic))
         h_cat = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         if self.towers > 1:
@@ -246,15 +268,24 @@ class VirtualNode(fnn.Module):
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, vn_h, deterministic: bool = True):
         g = gb.num_graphs_padded
-        if self.vn_type == "mean":
-            pool = segment.segment_mean(h, gb.node_graph, g, gb.node_mask,
-                                        gb.n_nodes, indices_are_sorted=True)
-        elif self.vn_type == "sum":
-            pool = segment.segment_sum(h, gb.node_graph, g, gb.node_mask,
+
+        def pool_sum(x):
+            if gb.mxu is not None:
+                return mxu.graph_pool_sum(x, gb.mxu, g)
+            return segment.segment_sum(x, gb.node_graph, g, gb.node_mask,
                                        indices_are_sorted=True)
+
+        def pool_mean(x):
+            s = pool_sum(x)
+            n = gb.n_nodes.astype(s.dtype)[:, None]
+            return jnp.where(n > 0, s / jnp.maximum(n, 1), 0)
+
+        if self.vn_type == "mean":
+            pool = pool_mean(h)
+        elif self.vn_type == "sum":
+            pool = pool_sum(h)
         elif self.vn_type == "logsum":
-            pool = segment.segment_mean(h, gb.node_graph, g, gb.node_mask,
-                                        gb.n_nodes, indices_are_sorted=True)
+            pool = pool_mean(h)
             lognum = jnp.log(jnp.maximum(gb.n_nodes.astype(h.dtype), 1.0))
             pool = pool * lognum[:, None]
         else:
@@ -269,7 +300,10 @@ class VirtualNode(fnn.Module):
                          name="fc_layer")(
                              vn_h + pool, gb.graph_mask, deterministic)
         vn_h = vn_h + vn_tmp if self.residual else vn_tmp
-        h = h + segment.gather(vn_h, gb.node_graph)
+        if gb.mxu is not None:
+            h = h + mxu.graph_broadcast(vn_h, gb.mxu)
+        else:
+            h = h + segment.gather(vn_h, gb.node_graph)
         return vn_h, h
 
 

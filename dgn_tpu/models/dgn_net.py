@@ -71,6 +71,9 @@ class DGNConfig:
     virtual_node: str = "none"
     # sync-BN collective axis (set when training under shard_map DP)
     bn_axis: Optional[str] = None
+    # matmul input dtype for the MXU block ops ("bfloat16" for speed; None =
+    # full f32).  Accumulation stays f32 either way.
+    compute_dtype: Optional[str] = None
 
     def agg_names(self) -> Tuple[str, ...]:
         return tuple(agg_ops.parse_names(self.aggregators))
@@ -134,6 +137,7 @@ class DGNModel(fnn.Module):
             edge_features=cfg.edge_feat, pretrans_layers=cfg.pretrans_layers,
             posttrans_layers=cfg.posttrans_layers, towers=cfg.towers,
             divide_input=cfg.divide_input, bn_axis=cfg.bn_axis,
+            compute_dtype=cfg.compute_dtype,
         )
         use_vn = cfg.virtual_node and cfg.virtual_node.lower() != "none"
         vn_h = jnp.zeros((gb.num_graphs_padded, cfg.hidden_dim), h.dtype)

@@ -19,12 +19,15 @@ import jax
 import jax.numpy as jnp
 
 from ..graph import GraphBatch
-from ..ops import segment
+from ..ops import mxu, segment
 
 
 def _part_sum(gb: GraphBatch, h: jax.Array) -> jax.Array:
-    s = segment.segment_sum(h, gb.node_graph, gb.num_graphs_padded,
-                            gb.node_mask)
+    if gb.mxu is not None:
+        s = mxu.graph_pool_sum(h, gb.mxu, gb.num_graphs_padded)
+    else:
+        s = segment.segment_sum(h, gb.node_graph, gb.num_graphs_padded,
+                                gb.node_mask)
     if gb.halo is not None:
         s = jax.lax.psum(s, gb.halo.axis)
     return s

@@ -239,7 +239,12 @@ class MLPReadout(fnn.Module):
 
 
 class Embedding(fnn.Module):
-    """torch.nn.Embedding parity: weights ~ N(0, 1)."""
+    """torch.nn.Embedding parity: weights ~ N(0, 1).
+
+    Small vocabularies look up via a one-hot matmul: on TPU the backward of
+    jnp.take is a scatter-add that costs ~per-row, while the matmul's
+    backward is MXU work (ops/mxu.py rationale).
+    """
     num_embeddings: int
     features: int
 
@@ -247,4 +252,7 @@ class Embedding(fnn.Module):
     def __call__(self, ids):
         table = self.param("embedding", fnn.initializers.normal(stddev=1.0),
                            (self.num_embeddings, self.features))
+        if self.num_embeddings <= 256 and ids.ndim == 1:
+            from .ops.mxu import onehot_embed
+            return onehot_embed(ids, table)
         return jnp.take(table, ids, axis=0)

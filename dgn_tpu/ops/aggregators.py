@@ -47,6 +47,9 @@ class EdgeContext(NamedTuple):
     abs_sum: Optional[jax.Array]      # [N, K] per-dst sum of |delta| (XLA path)
     pos_sum: Optional[jax.Array]      # [N, K] per-dst sum of relu(delta)
     neg_sum: Optional[jax.Array]      # [N, K] per-dst sum of relu(-delta)
+    # MXU block packing leaves gb.dst non-monotone; flat segment ops must
+    # then not claim indices_are_sorted
+    sorted_dst: bool = True
 
 
 _DIR_RE = re.compile(
@@ -90,58 +93,73 @@ def max_eig_index(names: Sequence[str]) -> int:
 def build_edge_context(eig: jax.Array, src: jax.Array, dst: jax.Array,
                        edge_mask: jax.Array, degree: jax.Array,
                        names: Optional[Sequence[str]] = None,
-                       need_norms: bool = True) -> EdgeContext:
+                       need_norms: bool = True,
+                       mxu_layout=None) -> EdgeContext:
     """Shared ingredients.  When `names` is given, skips work no aggregator
     needs; when need_norms=False (fused path), skips the XLA normalizer sums."""
     n = eig.shape[0]
+    sorted_dst = mxu_layout is None
     any_dir = names is None or any(_dir_spec(x) for x in names)
     delta = abs_sum = pos_sum = neg_sum = None
     if any_dir:
-        delta = segment.gather(eig, src) - segment.gather(eig, dst)
+        if mxu_layout is not None:
+            from . import mxu
+            delta = (mxu.gather_src(eig, mxu_layout)
+                     - mxu.gather_dst(eig, mxu_layout))
+        else:
+            delta = segment.gather(eig, src) - segment.gather(eig, dst)
         if need_norms:
             kinds = ({k for _, k in filter(None, map(_dir_spec, names))}
                      if names is not None else {"dx"})
             if kinds - {"dx-balanced"}:
-                abs_sum = segment.segment_sum(jnp.abs(delta), dst, n, edge_mask)
+                abs_sum = segment.segment_sum(jnp.abs(delta), dst, n, edge_mask,
+                                              indices_are_sorted=sorted_dst)
             if "dx-balanced" in kinds or names is None:
                 pos_sum = segment.segment_sum(jax.nn.relu(delta), dst, n,
-                                              edge_mask)
+                                              edge_mask,
+                                              indices_are_sorted=sorted_dst)
                 neg_sum = segment.segment_sum(jax.nn.relu(-delta), dst, n,
-                                              edge_mask)
+                                              edge_mask,
+                                              indices_are_sorted=sorted_dst)
     return EdgeContext(dst=dst, edge_mask=edge_mask, num_nodes=n,
                        degree=degree, eig_delta=delta, abs_sum=abs_sum,
-                       pos_sum=pos_sum, neg_sum=neg_sum)
+                       pos_sum=pos_sum, neg_sum=neg_sum, sorted_dst=sorted_dst)
 
 
 # ===================================================================== XLA
 
 def _agg_xla(name: str, ctx: EdgeContext, msg, h_in):
+    s = ctx.sorted_dst
     if name == "mean":
         return segment.segment_mean(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask,
-                                    ctx.degree)
+                                    ctx.degree, indices_are_sorted=s)
     if name == "sum":
-        return segment.segment_sum(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask)
+        return segment.segment_sum(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask,
+                                   indices_are_sorted=s)
     if name == "max":
-        return segment.segment_max(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask)
+        return segment.segment_max(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask,
+                                   indices_are_sorted=s)
     if name == "min":
-        return segment.segment_min(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask)
+        return segment.segment_min(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask,
+                                   indices_are_sorted=s)
     if name == "var":
         return segment.segment_var(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask,
-                                   ctx.degree)
+                                   ctx.degree, indices_are_sorted=s)
     if name == "std":
         return segment.segment_std(msg, ctx.dst, ctx.num_nodes, ctx.edge_mask,
-                                   ctx.degree)
+                                   ctx.degree, indices_are_sorted=s)
     k, kind = _dir_spec(name)
     d = ctx.eig_delta[:, k]
     if kind in ("av", "smooth"):
         w = jnp.abs(d) / (ctx.abs_sum[:, k][ctx.dst] + EPS)
         return segment.segment_sum(msg * w[:, None], ctx.dst, ctx.num_nodes,
-                                   ctx.edge_mask)
+                                   ctx.edge_mask, indices_are_sorted=s)
     if kind in ("dx", "dx-no-abs"):
         w = d / (ctx.abs_sum[:, k][ctx.dst] + EPS)
         wh = segment.segment_sum(msg * w[:, None], ctx.dst, ctx.num_nodes,
-                                 ctx.edge_mask)
-        wsum = segment.segment_sum(w, ctx.dst, ctx.num_nodes, ctx.edge_mask)
+                                 ctx.edge_mask, indices_are_sorted=s)
+        wsum = segment.segment_sum(w, ctx.dst, ctx.num_nodes, ctx.edge_mask,
+                                   indices_are_sorted=s)
         out = wh - wsum[:, None] * h_in
         return jnp.abs(out) if kind == "dx" else out
     if kind == "dx-balanced":
@@ -149,15 +167,17 @@ def _agg_xla(name: str, ctx: EdgeContext, msg, h_in):
         back = jax.nn.relu(-d) / (ctx.neg_sum[:, k][ctx.dst] + EPS)
         w = (front + back) * 0.5
         wh = segment.segment_sum(msg * w[:, None], ctx.dst, ctx.num_nodes,
-                                 ctx.edge_mask)
-        wsum = segment.segment_sum(w, ctx.dst, ctx.num_nodes, ctx.edge_mask)
+                                 ctx.edge_mask, indices_are_sorted=s)
+        wsum = segment.segment_sum(w, ctx.dst, ctx.num_nodes, ctx.edge_mask,
+                                   indices_are_sorted=s)
         return jnp.abs(wh - wsum[:, None] * h_in)
     # softmax family
     alpha = 0.1 if kind == "0.1" else -0.1
     logits = alpha * jnp.abs(d)
-    w = segment.segment_softmax(logits, ctx.dst, ctx.num_nodes, ctx.edge_mask)
+    w = segment.segment_softmax(logits, ctx.dst, ctx.num_nodes, ctx.edge_mask,
+                                indices_are_sorted=s)
     return segment.segment_sum(msg * w[:, None], ctx.dst, ctx.num_nodes,
-                               ctx.edge_mask)
+                               ctx.edge_mask, indices_are_sorted=s)
 
 
 # ================================================================ fused path
@@ -169,39 +189,63 @@ def _fusable(name: str) -> bool:
     return d is not None and d[1] in _FUSABLE_DIR
 
 
-def _fused_aggregate(names, ctx: EdgeContext, msg, h_in, layout, interpret):
-    """All sum-family aggregators in one Pallas pass; returns {name: [N, F]}."""
-    from .pallas import segment_kernels as sk
+def _fused_aggregate(names, ctx: EdgeContext, msg, h_in, layout, interpret,
+                     compute_dtype=None):
+    """All sum-family aggregators in one fused reduction; returns {name: [N, F]}.
 
+    Backend depends on the layout type: an ops.mxu.MXULayout runs the
+    block-diagonal one-hot-matmul pass (zero scatters, fwd+bwd on the MXU);
+    a Pallas BlockLayout runs the chunked kernel.
+    """
     f = msg.shape[1]
     need_sq = any(n in ("var", "std") for n in names)
     specs = {}          # row key -> weight vector [E]
+    full = {}           # row key -> needs the full feature sums (not just S)
 
-    def want(key, vec):
+    def want(key, vec, need_full):
         if key not in specs:
             specs[key] = vec
+            full[key] = need_full
+        else:
+            full[key] = full[key] or need_full
 
     for name in names:
         if name in ("mean", "sum", "var", "std"):
-            want(("one",), jnp.ones_like(msg[:, 0]))
+            want(("one",), jnp.ones_like(msg[:, 0]), True)
         else:
             k, kind = _dir_spec(name)
             d = ctx.eig_delta[:, k]
             if kind in ("av", "smooth"):
-                want(("abs", k), jnp.abs(d))
+                want(("abs", k), jnp.abs(d), True)
             elif kind in ("dx", "dx-no-abs"):
-                want(("delta", k), d)
-                want(("abs", k), jnp.abs(d))      # normalizer S_k
+                want(("delta", k), d, True)
+                want(("abs", k), jnp.abs(d), False)   # normalizer S_k only
             elif kind == "dx-balanced":
-                want(("pos", k), jax.nn.relu(d))
-                want(("neg", k), jax.nn.relu(-d))
+                want(("pos", k), jax.nn.relu(d), True)
+                want(("neg", k), jax.nn.relu(-d), True)
 
-    keys = list(specs)
-    W = jnp.stack([specs[k] for k in keys])
+    # full-sum keys first so the backend can emit totals-only for the rest
+    keys = sorted(specs, key=lambda k: not full[k])
+    n_full = sum(1 for k in keys if full[k])
     msg_aug = jnp.concatenate([msg, msg * msg], axis=1) if need_sq else msg
-    sums, totals = sk.weighted_segment_sums(msg_aug, W, layout,
-                                            ctx.num_nodes, interpret=interpret)
-    S = {k: (sums[i], totals[i]) for i, k in enumerate(keys)}
+
+    from .mxu import MXULayout
+    if isinstance(layout, MXULayout):
+        from . import mxu
+        mask = ctx.edge_mask.astype(msg.dtype)
+        W = jnp.stack([specs[k] * mask for k in keys])
+        sums, totals = mxu.weighted_segment_sums(msg_aug, W, layout,
+                                                 ctx.num_nodes, n_full=n_full,
+                                                 compute_dtype=compute_dtype)
+        S = {k: (sums[i] if i < n_full else None, totals[i])
+             for i, k in enumerate(keys)}
+    else:
+        from .pallas import segment_kernels as sk
+        W = jnp.stack([specs[k] for k in keys])
+        sums, totals = sk.weighted_segment_sums(msg_aug, W, layout,
+                                                ctx.num_nodes,
+                                                interpret=interpret)
+        S = {k: (sums[i], totals[i]) for i, k in enumerate(keys)}
 
     deg = ctx.degree.astype(msg.dtype)
     degc = jnp.maximum(deg, 1.0)[:, None]
@@ -240,7 +284,8 @@ def _fused_aggregate(names, ctx: EdgeContext, msg, h_in, layout, interpret):
 
 def aggregate(names: Sequence[str], ctx: EdgeContext, msg: jax.Array,
               h_in: jax.Array, layout=None,
-              interpret: Optional[bool] = None) -> jax.Array:
+              interpret: Optional[bool] = None,
+              compute_dtype=None) -> jax.Array:
     """Run aggregators and concat on the feature axis -> [N, len(names)*F].
 
     Mirrors the reference reduce_func concat (reference nets/dgn_layer.py:94).
@@ -250,12 +295,13 @@ def aggregate(names: Sequence[str], ctx: EdgeContext, msg: jax.Array,
     names = list(names)
     fused = {}
     if layout is not None:
-        if interpret is None:
+        from .mxu import MXULayout
+        if interpret is None and not isinstance(layout, MXULayout):
             interpret = jax.default_backend() == "cpu"
         fuse_names = [n for n in names if _fusable(n)]
         if fuse_names:
             fused = _fused_aggregate(fuse_names, ctx, msg, h_in, layout,
-                                     interpret)
+                                     interpret, compute_dtype)
     outs = [fused[n] if n in fused else _agg_xla(n, ctx, msg, h_in)
             for n in names]
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]

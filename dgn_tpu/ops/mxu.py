@@ -1,0 +1,259 @@
+"""Block-diagonal MXU execution layout: gather/scatter as 128x128 matmuls.
+
+Measured on TPU v5e: XLA's dynamic gather and scatter are per-row bound
+(~0.3/0.65 ms for ~50k rows, FLAT in feature width up to 128 lanes) — the
+DGN train step is ~30 such ops, so they dominate wall time by ~30x over the
+HBM speed-of-light.  The graphs in every benchmark are tiny (ZINC <=37 nodes,
+SBM/superpixels <=~200), so packing can guarantee that BOTH endpoints of any
+edge — and every node of any graph — live inside small aligned windows:
+
+  * the node axis is cut into 128-node blocks; a graph never straddles a
+    block boundary unless it is itself >128 nodes (then its edges are
+    bucketed per (src_block, dst_block) pair);
+  * the edge axis is cut into 128-edge chunks; all edges of a chunk share one
+    src block and one dst block;
+  * the graph axis is cut into 128-graph blocks; a 128-node chunk only holds
+    nodes of graphs from one graph block.
+
+Under that layout every hot indexed op becomes a *block-local one-hot batched
+matmul* (einsum "cen,cnf->cef" / "cen,cef->cnf") whose forward AND backward
+are MXU work with zero scatters; the only remaining indexed ops touch
+chunk-level arrays (~hundreds of rows — negligible).
+
+This is the TPU-native replacement for the DGL degree-bucketed mailbox
+runtime (reference realworld_benchmark/nets/dgn_layer.py:115 `g.update_all`):
+where DGL buckets nodes by in-degree, we bucket whole graphs into MXU tiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MXULayout:
+    """Host-precomputed block structure of a GraphBatch (see graph.pack_graphs).
+
+    Edge axis (E = n_edge_chunks * TILE):
+      local_src/local_dst: [E] int32 in [0, TILE) — index within the chunk's
+        src/dst node block.
+      edge_chunk_src/edge_chunk_dst: [E/TILE] int32 node-block id per chunk.
+        edge_chunk_dst is non-decreasing (chunks sorted by dst block).
+    Node axis (N = n_node_chunks * TILE):
+      local_graph: [N] int32 in [0, TILE), TILE for pad nodes (sentinel — the
+        one-hot row is zero, so pads never pollute graph pools).
+      node_chunk_graph: [N/TILE] int32 graph-block id per node chunk
+        (non-decreasing).
+    """
+    local_src: jax.Array
+    local_dst: jax.Array
+    edge_chunk_src: jax.Array
+    edge_chunk_dst: jax.Array
+    local_graph: jax.Array
+    node_chunk_graph: jax.Array
+    n_node_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_graph_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+# ===================================================================== host
+
+def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
+                     node_graph: np.ndarray, node_mask: np.ndarray,
+                     n_pad: int, g_pad: int) -> MXULayout:
+    """Derive the layout arrays from already-block-aligned packed data.
+
+    Validates the block invariants (cheap, host-side) so a mis-packed batch
+    fails loudly instead of silently aggregating across blocks.
+    """
+    e_pad = len(src)
+    if e_pad % TILE or n_pad % TILE or g_pad % TILE:
+        raise ValueError("mxu layout needs TILE-multiple axes")
+    cs = src.reshape(-1, TILE) // TILE
+    cd = dst.reshape(-1, TILE) // TILE
+    em = edge_mask.reshape(-1, TILE)
+    # per chunk: all real edges share one src block / one dst block
+    def _chunk_id(blocks, mask):
+        first = blocks[:, 0]
+        ok = np.all((blocks == first[:, None]) | ~mask, axis=1)
+        if not np.all(ok):
+            raise ValueError("edge chunk spans multiple node blocks")
+        return first.astype(np.int32)
+    chunk_src = _chunk_id(cs, em)
+    chunk_dst = _chunk_id(cd, em)
+    local_src = (src - chunk_src.repeat(TILE) * TILE).astype(np.int32)
+    local_dst = (dst - chunk_dst.repeat(TILE) * TILE).astype(np.int32)
+    if local_src.min() < 0 or local_src.max() >= TILE or \
+       local_dst.min() < 0 or local_dst.max() >= TILE:
+        raise ValueError("edge endpoints outside their chunk's node block")
+
+    ng = node_graph.reshape(-1, TILE) // TILE
+    nm = node_mask.reshape(-1, TILE)
+    chunk_graph = _chunk_id(ng, nm)
+    local_graph = (node_graph - chunk_graph.repeat(TILE) * TILE).astype(np.int32)
+    local_graph = np.where(node_mask, local_graph, TILE).astype(np.int32)
+    if local_graph[node_mask].min() < 0 or local_graph[node_mask].max() >= TILE:
+        raise ValueError("node's graph outside its chunk's graph block")
+
+    return MXULayout(
+        local_src=jnp.asarray(local_src),
+        local_dst=jnp.asarray(local_dst),
+        edge_chunk_src=jnp.asarray(chunk_src),
+        edge_chunk_dst=jnp.asarray(chunk_dst),
+        local_graph=jnp.asarray(local_graph),
+        node_chunk_graph=jnp.asarray(chunk_graph),
+        n_node_blocks=n_pad // TILE,
+        n_graph_blocks=g_pad // TILE,
+    )
+
+
+# =================================================================== device
+
+def _onehot(local: jax.Array, dtype) -> jax.Array:
+    """[C, TILE] int32 -> [C, TILE, TILE] one-hot; values >= TILE give a zero
+    row (pad sentinel)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE), 2)
+    return (local[:, :, None] == iota).astype(dtype)
+
+
+def _onehot_einsum(spec_fwd: str, spec_bwd: str, oh: jax.Array, x: jax.Array,
+                   compute_dtype=None) -> jax.Array:
+    """einsum(spec_fwd, oh, x), differentiable in x only.
+
+    With compute_dtype (e.g. bfloat16) BOTH the forward and the backward
+    matmul run with cast inputs and float32 accumulation — one-hot entries are
+    exact in bf16, so the only rounding is on the data operand.  Without it,
+    plain f32.  (A custom_vjp is needed because JAX's einsum transpose would
+    otherwise promote the mixed f32-cotangent x bf16-residual product back to
+    the slow f32 MXU path.)
+    """
+    if compute_dtype is None:
+        return jnp.einsum(spec_fwd, oh, x, preferred_element_type=x.dtype)
+    cd = jnp.dtype(compute_dtype)
+    out_dtype = x.dtype
+    ohc = oh.astype(cd)
+
+    @jax.custom_vjp
+    def f(x):
+        return jnp.einsum(spec_fwd, ohc, x.astype(cd),
+                          preferred_element_type=out_dtype)
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, g):
+        return (jnp.einsum(spec_bwd, ohc, g.astype(cd),
+                           preferred_element_type=out_dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
+def block_gather(table: jax.Array, local: jax.Array, chunk_block: jax.Array,
+                 compute_dtype=None) -> jax.Array:
+    """rows[i] = table[chunk_block[i // TILE] * TILE + local[i]] as matmuls.
+
+    table: [n_blocks*TILE, F].  Returns [C*TILE, F].  The only true gather is
+    chunk-level ([C] rows); the within-block indexing is a one-hot matmul, so
+    the backward pass is a matmul too (plus a [C]-row scatter — negligible).
+    """
+    squeeze = table.ndim == 1
+    if squeeze:
+        table = table[:, None]
+    f = table.shape[-1]
+    c = chunk_block.shape[0]
+    tb = table.reshape(-1, TILE, f)[chunk_block]          # [C, TILE, F]
+    oh = _onehot(local.reshape(c, TILE), table.dtype)
+    out = _onehot_einsum("cen,cnf->cef", "cen,cef->cnf", oh, tb, compute_dtype)
+    out = out.reshape(c * TILE, f)
+    return out[:, 0] if squeeze else out
+
+
+def block_scatter_sum(data: jax.Array, local: jax.Array,
+                      chunk_block: jax.Array, n_blocks: int,
+                      compute_dtype=None) -> jax.Array:
+    """out[chunk_block[c]*TILE + local[c,e]] += data[c,e] as matmuls.
+
+    data: [C*TILE, F].  Rows whose local index is >= TILE (pad sentinel) are
+    dropped.  chunk_block must be non-decreasing.  Returns [n_blocks*TILE, F].
+    """
+    squeeze = data.ndim == 1
+    if squeeze:
+        data = data[:, None]
+    f = data.shape[-1]
+    c = chunk_block.shape[0]
+    oh = _onehot(local.reshape(c, TILE), data.dtype)
+    part = _onehot_einsum("cen,cef->cnf", "cen,cnf->cef", oh,
+                          data.reshape(c, TILE, f), compute_dtype)
+    out = jax.ops.segment_sum(part, chunk_block, n_blocks,
+                              indices_are_sorted=True)
+    out = out.reshape(n_blocks * TILE, f)
+    return out[:, 0] if squeeze else out
+
+
+def gather_src(h: jax.Array, layout: MXULayout, compute_dtype=None) -> jax.Array:
+    """h[src] for every edge — replacement for segment.gather(h, gb.src)."""
+    return block_gather(h, layout.local_src, layout.edge_chunk_src,
+                        compute_dtype)
+
+
+def gather_dst(h: jax.Array, layout: MXULayout, compute_dtype=None) -> jax.Array:
+    return block_gather(h, layout.local_dst, layout.edge_chunk_dst,
+                        compute_dtype)
+
+
+def weighted_segment_sums(msg: jax.Array, weights: jax.Array,
+                          layout: MXULayout, n_pad: int,
+                          n_full: Optional[int] = None,
+                          compute_dtype=None):
+    """All weighted edge->dst reductions of the DGN layer in ONE matmul pass.
+
+    msg: [E, F]; weights: [n_w, E] with pad edges already zero-weighted.
+    The first `n_full` weight rows (default all) get full feature sums; every
+    row gets its weight total (the directional normalizers S and the dir-dx
+    centered term come from the totals).  Returns
+    (sums [n_full, n_pad, F], totals [n_w, n_pad]).
+    """
+    n_w, e = weights.shape
+    if n_full is None:
+        n_full = n_w
+    f = msg.shape[1]
+    cols = [msg * weights[i][:, None] for i in range(n_full)]
+    cols.append(weights.T)                                  # totals columns
+    wide = jnp.concatenate(cols, axis=1)                    # [E, n_full*F + n_w]
+    out = block_scatter_sum(wide, layout.local_dst, layout.edge_chunk_dst,
+                            layout.n_node_blocks,
+                            compute_dtype=compute_dtype)[:n_pad]
+    sums = jnp.stack([out[:, i * f:(i + 1) * f] for i in range(n_full)]) \
+        if n_full else jnp.zeros((0, n_pad, f), msg.dtype)
+    totals = out[:, n_full * f:].T
+    return sums, totals
+
+
+def graph_pool_sum(h: jax.Array, layout: MXULayout, g_pad: int) -> jax.Array:
+    """Per-graph sum over nodes (pad nodes excluded via the TILE sentinel)."""
+    return block_scatter_sum(h, layout.local_graph, layout.node_chunk_graph,
+                             layout.n_graph_blocks)[:g_pad]
+
+
+def graph_broadcast(vg: jax.Array, layout: MXULayout) -> jax.Array:
+    """Per-node copy of its graph's row (pad nodes get zeros)."""
+    return block_gather(vg, layout.local_graph, layout.node_chunk_graph)
+
+
+def onehot_embed(ids: jax.Array, table: jax.Array) -> jax.Array:
+    """Embedding lookup as a one-hot matmul (backward = matmul, no scatter).
+
+    Only worthwhile for small vocabularies (ZINC atoms/bonds, OGB atom/bond
+    feature tables).
+    """
+    v = table.shape[0]
+    oh = (ids[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
+          ).astype(table.dtype)
+    return jnp.dot(oh, table, preferred_element_type=table.dtype)

@@ -1,11 +1,25 @@
 """Benchmark: DGN-complex ZINC training throughput (edges/s/chip) on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 vs_baseline = TPU edges/s divided by a torch-CPU reference implementation of
 the same model (the reference stack is torch+DGL on CPU/GPU; DGL is not
 installed here, so the baseline is a faithful torch re-implementation of the
 reference DGNLayerComplex math using index_add scatter ops — the same
 computational graph the reference executes).
+
+Timing method: the axon TPU tunnel makes `block_until_ready` return before
+remote execution finishes, so K train steps are wrapped in ONE jit via
+lax.scan, reduced to a scalar on device, fetched with float(), and wall time
+divided by K.  All four execution layouts are timed side by side:
+
+  flat      — flat COO + XLA segment scatter/gather ops
+  pallas    — flat + fused Pallas weighted-segment-sum kernel
+  mxu       — block-diagonal 128-node packing; gathers/scatters are one-hot
+              MXU matmuls (ops/mxu.py), f32
+  mxu_bf16  — same with bfloat16 matmul inputs (f32 accumulation)
+
+The headline value is the layout run.py ships by default (resolve_layout).
+MFU is estimated from XLA's compiled flop count against the v5e bf16 peak.
 
 Workload: synthetic ZINC-shaped molecules (9..37 atoms), batch of 1024 graphs,
 DGN complex L=4 hidden=45, aggregators "mean dir1-dx dir1-av", scalers
@@ -15,63 +29,102 @@ DGN complex L=4 hidden=45, aggregators "mean dir1-dx dir1-av", scalers
 from __future__ import annotations
 
 import json
+import sys
 import time
+from functools import partial
 
 import numpy as np
 
 BATCH = 1024
-STEPS = 30
-WARMUP = 5
+STEPS = 50
 HIDDEN = 45
 L = 4
 TORCH_STEPS = 6
+V5E_BF16_PEAK = 197e12          # FLOP/s, one v5e chip
 
 
-def build_workload():
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_graphs():
     from dgn_tpu.data import synthetic
-    from dgn_tpu.graph import pack_graphs
     from dgn_tpu.ops.scalers import degree_stats
 
     graphs = synthetic.synthetic_zinc(BATCH, seed=41)
     degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
                            for g in graphs])
     avg_d = degree_stats(degs)
-    tot_n = sum(g.num_nodes for g in graphs)
-    tot_e = sum(g.num_edges for g in graphs)
-    n_pad = ((tot_n + 1 + 127) // 128) * 128
-    e_pad = ((tot_e + 127) // 128) * 128
-    gb = pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=BATCH)
-    return graphs, gb, avg_d, tot_e
+    real_edges = sum(g.num_edges for g in graphs)
+    return graphs, avg_d, real_edges
 
 
-def bench_tpu(gb, avg_d, real_edges):
+def pack(graphs, layout):
+    from dgn_tpu.graph import (bucket_sizes_for, mxu_bucket_sizes,
+                               pack_graphs, round_up)
+
+    if layout.startswith("mxu"):
+        n_pad, e_pad, g_pad = mxu_bucket_sizes(graphs, BATCH)
+        return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                           mxu_layout=True)
+    n_pad, e_pad = bucket_sizes_for(graphs, BATCH)
+    return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=BATCH,
+                       kernel_layout=(layout == "pallas"))
+
+
+def time_layout(layout, graphs, avg_d, real_edges):
+    """Compile + time STEPS train steps inside one jit (scan); returns
+    (edges_per_s, step_ms, mfu or None)."""
     import jax
     import jax.numpy as jnp
 
     from dgn_tpu.models import DGNConfig, zinc_model
     from dgn_tpu.train.trainer import TrainParams, Trainer
 
+    gb = pack(graphs, layout)
     cfg = DGNConfig(hidden_dim=HIDDEN, out_dim=HIDDEN, L=L,
                     type_net="complex",
                     aggregators="mean dir1-dx dir1-av",
                     scalers="identity amplification attenuation",
-                    avg_d=avg_d)
+                    avg_d=avg_d,
+                    compute_dtype="bfloat16" if layout.endswith("bf16")
+                    else None)
     model, loss_fn = zinc_model(cfg)
     params = TrainParams(seed=41, init_lr=1e-3, weight_decay=3e-6)
     trainer = Trainer(model, loss_fn, params, task="zinc", donate=False)
     state = trainer.init_state(gb)
     lr = jnp.asarray(1e-3, jnp.float32)
-    rng = jax.random.PRNGKey(0)
 
-    for _ in range(WARMUP):
-        state, loss, _ = trainer._train_step(state, gb, rng, lr)
-    jax.block_until_ready(loss)
+    def body(carry, _):
+        st, rng = carry
+        rng, sub = jax.random.split(rng)
+        st, loss, _ = trainer._train_step_impl(st, gb, sub, lr)
+        return (st, rng), loss
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run(st, rng, n):
+        (st, _), losses = jax.lax.scan(body, (st, rng), None, length=n)
+        # keep the final update live + reduce to one scalar for the fetch
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        return losses.sum() + 0.0 * leaf.reshape(-1)[0]
+
+    rng = jax.random.PRNGKey(0)
+    probe = float(run(state, rng, STEPS))              # compile + warm caches
+    assert np.isfinite(probe), (layout, probe)
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, loss, _ = trainer._train_step(state, gb, rng, lr)
-    jax.block_until_ready(loss)
+    probe = float(run(state, rng, STEPS))              # scalar fetch = sync
     dt = time.perf_counter() - t0
-    return real_edges * STEPS / dt
+    assert np.isfinite(probe), (layout, probe)
+
+    mfu = None
+    try:
+        ca = run.lower(state, rng, STEPS).compile().cost_analysis()
+        if ca and ca.get("flops"):
+            mfu = float(ca["flops"]) / dt / V5E_BF16_PEAK
+    except Exception:
+        pass
+    step_ms = dt / STEPS * 1e3
+    return real_edges * STEPS / dt, step_ms, mfu
 
 
 def bench_torch_cpu(graphs, avg_d, real_edges):
@@ -172,8 +225,34 @@ def bench_torch_cpu(graphs, avg_d, real_edges):
 
 
 def main():
-    graphs, gb, avg_d, real_edges = build_workload()
-    tpu_eps = bench_tpu(gb, avg_d, real_edges)
+    from dgn_tpu.run import resolve_layout
+
+    graphs, avg_d, real_edges = build_graphs()
+    layouts = {}
+    for layout in ("flat", "pallas", "mxu", "mxu_bf16"):
+        try:
+            eps, step_ms, mfu = time_layout(layout, graphs, avg_d, real_edges)
+            layouts[layout] = {"edges_per_s": round(eps, 1),
+                               "step_ms": round(step_ms, 3)}
+            if mfu is not None:
+                layouts[layout]["mfu_bf16_peak"] = round(mfu, 4)
+            log(f"[bench] {layout}: {eps / 1e6:.1f}M edges/s "
+                f"({step_ms:.2f} ms/step, mfu={mfu})")
+        except Exception as e:  # a broken layout must not hide the others
+            layouts[layout] = {"error": f"{type(e).__name__}: {e}"}
+            log(f"[bench] {layout} FAILED: {e}")
+
+    default = resolve_layout("auto", 1)
+    default_key = "mxu_bf16" if default == "mxu" and "mxu_bf16" in layouts \
+        and "edges_per_s" in layouts.get("mxu_bf16", {}) else default
+    # headline = shipped default path (best of its dtype variants)
+    candidates = [k for k in (default, default_key) if
+                  "edges_per_s" in layouts.get(k, {})]
+    if not candidates:
+        candidates = [k for k, v in layouts.items() if "edges_per_s" in v]
+    head_key = max(candidates, key=lambda k: layouts[k]["edges_per_s"])
+    tpu_eps = layouts[head_key]["edges_per_s"]
+
     try:
         cpu_eps = bench_torch_cpu(graphs, avg_d, real_edges)
         ratio = tpu_eps / cpu_eps
@@ -184,6 +263,13 @@ def main():
         "value": round(tpu_eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(ratio, 3) if ratio else None,
+        "detail": {
+            "timing": "lax.scan-in-one-jit, scalar device fetch, "
+                      f"{STEPS} steps",
+            "headline_layout": head_key,
+            "layouts": layouts,
+            "torch_cpu_edges_per_s": round(cpu_eps, 1) if cpu_eps else None,
+        },
     }))
 
 

@@ -36,6 +36,13 @@ class DataParams:
     coord_eig: bool = False       # superpixels --coord_eig
     proportion: float = 1.0       # superpixels train subset --proportion
     synthetic_size: int = 512     # graphs per split in synthetic fallback
+    # execution layout of the packed batches (graph.pack_graphs):
+    #   flat   — one flat COO edge list, XLA segment ops
+    #   pallas — flat + fused Pallas weighted-segment-sum kernel layout
+    #   mxu    — block-diagonal 128-node packing; every hot gather/scatter is
+    #            a one-hot MXU matmul (ops/mxu.py)
+    #   auto   — mxu on single-device runs, flat under DP/EP sharding
+    layout: str = "auto"
 
 
 @dataclasses.dataclass
@@ -190,12 +197,21 @@ def build_argparser() -> argparse.ArgumentParser:
                     default=None)
     ap.add_argument("--proportion", type=float, default=None)
     ap.add_argument("--synthetic_size", type=int, default=None)
+    ap.add_argument("--layout", type=str, default=None,
+                    choices=["auto", "flat", "pallas", "mxu"],
+                    help="execution layout (DataParams.layout)")
+    ap.add_argument("--compute_dtype", type=str, default=None,
+                    help="matmul input dtype for MXU block ops, e.g. bfloat16")
     # runtime
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint dir (enables save + auto-resume)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--n_devices", type=int, default=None,
                     help="data-parallel shards (default: all visible)")
+    ap.add_argument("--partition", type=str, default="dp",
+                    choices=["dp", "ep"],
+                    help="multi-device strategy: dp = batch sharding, "
+                         "ep = edge-partitioned graphs w/ halo exchange")
     return ap
 
 
@@ -203,6 +219,7 @@ def config_from_args(argv=None) -> tuple:
     ap = build_argparser()
     args = ap.parse_args(argv)
     ov = {k: v for k, v in vars(args).items()
-          if k not in ("config", "checkpoint", "resume", "n_devices")}
+          if k not in ("config", "checkpoint", "resume", "n_devices",
+                       "partition")}
     cfg = load_config(args.config, ov)
     return cfg, args

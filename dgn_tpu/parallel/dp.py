@@ -19,7 +19,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..graph import GraphBatch, GraphData, bucket_sizes_for, pack_graphs
+from ..graph import (GraphBatch, GraphData, bucket_sizes_for,
+                     mxu_bucket_sizes, pack_graphs, round_up)
 from ..train.trainer import TrainState, Trainer, TrainParams, _augment
 
 
@@ -47,15 +48,22 @@ class StackedLoader:
     def __init__(self, graphs: Sequence[GraphData], per_device_batch: int,
                  n_shards: int, mesh: Optional[Mesh] = None,
                  shuffle: bool = False, seed: int = 0,
-                 n_pad: Optional[int] = None, e_pad: Optional[int] = None):
+                 n_pad: Optional[int] = None, e_pad: Optional[int] = None,
+                 layout: str = "flat"):
         self.graphs = list(graphs)
         self.bs = per_device_batch
         self.d = n_shards
         self.mesh = mesh
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
+        self.layout = layout
+        self.g_pad = (round_up(per_device_batch, 128) if layout == "mxu"
+                      else per_device_batch)
         if n_pad is None or e_pad is None:
-            a, b = bucket_sizes_for(self.graphs, per_device_batch)
+            if layout == "mxu":
+                a, b, _ = mxu_bucket_sizes(self.graphs, per_device_batch)
+            else:
+                a, b = bucket_sizes_for(self.graphs, per_device_batch)
             n_pad = n_pad or a
             e_pad = e_pad or b
         self.n_pad, self.e_pad = n_pad, e_pad
@@ -78,7 +86,8 @@ class StackedLoader:
                 if not gs:          # keep shard count fixed: ghost shard
                     gs = [self.graphs[chunk[0]]]
                     gb = pack_graphs(gs, n_pad=self.n_pad, e_pad=self.e_pad,
-                                     g_pad=self.bs)
+                                     g_pad=self.g_pad,
+                                     mxu_layout=self.layout == "mxu")
                     gb = dataclasses.replace(
                         gb,
                         node_mask=jnp.zeros_like(gb.node_mask),
@@ -86,7 +95,8 @@ class StackedLoader:
                         graph_mask=jnp.zeros_like(gb.graph_mask))
                 else:
                     gb = pack_graphs(gs, n_pad=self.n_pad, e_pad=self.e_pad,
-                                     g_pad=self.bs)
+                                     g_pad=self.g_pad,
+                                     mxu_layout=self.layout == "mxu")
                 shards.append(gb)
             out = stack_batches(shards)
             if self.mesh is not None:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..graph import GraphBatch, GraphData, HaloSpec
 from ..train.trainer import TrainParams, Trainer, TrainState
@@ -258,11 +258,11 @@ class EdgeParallelTrainer(Trainer):
         self._fwd_train = shard_map(
             lambda p_, bs, gb, rng: fwd_core(p_, bs, gb, rng, True),
             mesh=mesh, in_specs=(P(), P(), P(axis), P()),
-            out_specs=(out_score_spec, P()), check_rep=False)
+            out_specs=(out_score_spec, P()), check_vma=False)
         self._fwd_eval = shard_map(
             lambda p_, bs, gb: fwd_core(p_, bs, gb, None, False),
             mesh=mesh, in_specs=(P(), P(), P(axis)),
-            out_specs=(out_score_spec, P()), check_rep=False)
+            out_specs=(out_score_spec, P()), check_vma=False)
 
         def loss_gb(gb):
             """The gb view the loss/metric functions consume (jit-safe)."""

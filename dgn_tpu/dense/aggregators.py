@@ -78,7 +78,13 @@ def aggregate_var(X, adj, eigvec=None, self_loop=False, avg_d=None):
 
 
 def aggregate_std(X, adj, eigvec=None, self_loop=False, avg_d=None):
-    return jnp.sqrt(aggregate_var(X, adj, self_loop=self_loop) + EPS)
+    """NOTE: the reference passes its args positionally into aggregate_var
+    (aggregators.py:61 `aggregate_var(X, adj, self_loop, device)`), landing
+    device='cpu' in the self_loop slot — truthy, so the variance is ALWAYS
+    computed with a self-loop added regardless of the flag.  Replicated for
+    parity (verified directly against the reference module in
+    tests/test_reference_parity.py)."""
+    return jnp.sqrt(aggregate_var(X, adj, self_loop=True) + EPS)
 
 
 def aggregate_normalised_mean(X, adj, eigvec=None, self_loop=False,
@@ -138,13 +144,17 @@ def aggregate_moment_div_stdn(X, adj, eigvec=None, self_loop=False, n=3,
 
 def aggregate_mean_amplified(X, adj, eigvec=None, self_loop=False,
                              avg_d=None):
-    return scale_amplification(aggregate_mean(X, adj, self_loop=self_loop),
+    """Same positional-arg quirk as aggregate_std: the reference calls
+    `aggregate_mean(X, adj, self_loop, device)` (aggregators.py:165), so the
+    mean is ALWAYS computed with a self-loop.  Replicated for parity."""
+    return scale_amplification(aggregate_mean(X, adj, self_loop=True),
                                adj, avg_d)
 
 
 def aggregate_mean_attenuated(X, adj, eigvec=None, self_loop=False,
                               avg_d=None):
-    return scale_attenuation(aggregate_mean(X, adj, self_loop=self_loop),
+    """See aggregate_mean_amplified — self-loop always on (reference :171)."""
+    return scale_attenuation(aggregate_mean(X, adj, self_loop=True),
                              adj, avg_d)
 
 

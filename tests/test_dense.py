@@ -193,8 +193,14 @@ def agg_oracle(name, X, A, avg_d=None):
             mu2 = (M * M * w[:, None]).sum(0) / D[i]
             out[i] = np.maximum(mu2 - mu * mu, 0)
         elif name == "std":
-            mu = (M * w[:, None]).sum(0) / D[i]
-            mu2 = (M * M * w[:, None]).sum(0) / D[i]
+            # reference quirk: aggregate_std passes its args positionally
+            # into aggregate_var, so the variance is ALWAYS computed with a
+            # self-loop added (verified in tests/test_reference_parity.py)
+            wl = np.append(w, 1.0 + A[i, i])
+            Ml = np.vstack([M, X[i, i][None]])
+            Dl = D[i] + 1.0
+            mu = (Ml * wl[:, None]).sum(0) / Dl
+            mu2 = (Ml * Ml * wl[:, None]).sum(0) / Dl
             out[i] = np.sqrt(np.maximum(mu2 - mu * mu, 0) + EPS)
         elif name == "normalised_mean":
             out[i] = sum(A[i, j] * X[i, j] / np.sqrt(D[i] * D[j])
@@ -211,12 +217,16 @@ def agg_oracle(name, X, A, avg_d=None):
             mn = ((M - mu) ** p * w[:, None]).sum(0) / D[i]
             mn = np.where(np.abs(mn) < 1e-6, 0.0, mn)
             out[i] = np.sign(mn) * (np.abs(mn) + EPS) ** (1 / p)
-        elif name == "mean_amplified":
-            out[i] = ((M * w[:, None]).sum(0) / D[i]
-                      * np.log(D[i] + 1) / avg_d["log"])
-        elif name == "mean_attenuated":
-            out[i] = ((M * w[:, None]).sum(0) / D[i]
-                      * avg_d["log"] / np.log(D[i] + 1))
+        elif name in ("mean_amplified", "mean_attenuated"):
+            # same positional-arg quirk: the inner mean ALWAYS self-loops;
+            # the scaler's degree does NOT (it re-reads the raw adjacency)
+            wl = np.append(w, 1.0 + A[i, i])
+            Ml = np.vstack([M, X[i, i][None]])
+            mu = (Ml * wl[:, None]).sum(0) / (D[i] + 1.0)
+            scale = (np.log(D[i] + 1) / avg_d["log"]
+                     if name == "mean_amplified"
+                     else avg_d["log"] / np.log(D[i] + 1))
+            out[i] = mu * scale
         else:
             raise KeyError(name)
     return out

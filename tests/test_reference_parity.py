@@ -1,0 +1,438 @@
+"""DIRECT numerical parity against the reference's own torch code.
+
+Unlike tests/test_aggregators.py (which checks against tests/oracle.py, a
+transcription of the reference formulas), these tests import the reference's
+actual modules from /root/reference and compare outputs numerically — a
+transcription error in the oracle cannot hide here.
+
+Covered reference files (all importable without DGL/CUDA):
+  realworld_benchmark/nets/aggregators.py   — the mailbox aggregator set the
+                                              published benchmarks ran with
+  realworld_benchmark/nets/scalers.py       — mailbox-degree scalers
+  realworld_benchmark/nets/layers.py        — FCLayer / MLP
+  realworld_benchmark/nets/mlp_readout_layer.py — MLPReadout
+  models/pytorch/eigen_agg.py               — dense spectral engine
+  models/pytorch/aggregators.py             — dense aggregator registry
+  models/pytorch/scalers.py                 — dense scalers
+  models/pytorch/dgn_layer.py               — dense DGNTower / DGNLayer
+
+Method: random inputs, reference state_dicts copied into flax params,
+np.allclose on activations.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+for _p in (REF, REF + "/realworld_benchmark"):
+    if _p not in sys.path:
+        sys.path.append(_p)
+
+ref_mb_agg = pytest.importorskip("nets.aggregators")
+ref_mb_scalers = pytest.importorskip("nets.scalers")
+ref_layers = pytest.importorskip("nets.layers")
+ref_readout = pytest.importorskip("nets.mlp_readout_layer")
+ref_dense_agg = pytest.importorskip("models.pytorch.aggregators")
+ref_eigen = pytest.importorskip("models.pytorch.eigen_agg")
+ref_dense_scalers = pytest.importorskip("models.pytorch.scalers")
+ref_dense_layer = pytest.importorskip("models.pytorch.dgn_layer")
+
+import jax
+import jax.numpy as jnp
+
+from dgn_tpu import nn as tnn
+from dgn_tpu.dense import aggregators as dense_agg
+from dgn_tpu.dense import dgn_layer as dense_layer
+from dgn_tpu.dense import scalers as dense_scalers
+from dgn_tpu.dense import spectral
+from dgn_tpu.ops import aggregators as agg_ops
+from dgn_tpu.ops import scalers as scaler_ops
+
+AVG_D = {"log": 1.1573, "lin": 2.71}
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def _ensure_symeig():
+    """torch.symeig is removed in modern torch; shim it with linalg.eigh so
+    the reference's get_k_lowest_eig (eigen_agg.py:87) stays runnable."""
+    try:
+        torch.symeig(torch.eye(2), eigenvectors=True)
+    except Exception:
+        def symeig(A, eigenvectors=False, upper=True):
+            w, v = torch.linalg.eigh(A)
+            return w, v
+        torch.symeig = symeig
+
+
+# ===================================================================== graph
+
+def random_graph(rng, n=24, k_eig=4, f=7):
+    """Random directed graph, every node in-degree 1..5, plus eig features."""
+    deg = rng.integers(1, 6, n)
+    src, dst = [], []
+    for v in range(n):
+        others = np.delete(np.arange(n), v)
+        for u in rng.choice(others, size=deg[v], replace=False):
+            src.append(u)
+            dst.append(v)
+    src = np.array(src, np.int32)
+    dst = np.array(dst, np.int32)
+    eig = rng.normal(size=(n, k_eig)).astype(np.float32)
+    h_in = rng.normal(size=(n, f)).astype(np.float32)
+    msg = rng.normal(size=(len(src), f)).astype(np.float32)
+    return src, dst, deg, eig, h_in, msg
+
+
+def mailbox_reduce(name, src, dst, deg, eig, h_in, msg):
+    """Emulate DGL's degree-bucketed mailbox reduce with the REFERENCE
+    aggregator (reference nets/dgn_layer.py:86-98 reduce_func): group dst
+    nodes by in-degree, build (n_bucket, deg, F) mailboxes, call
+    nets.aggregators.AGGREGATORS[name]."""
+    n, f = h_in.shape
+    out = np.zeros((n, f), np.float32)
+    fn = ref_mb_agg.AGGREGATORS[name]
+    for d in np.unique(deg):
+        nodes = np.nonzero(deg == d)[0]
+        boxes, es, ed = [], [], []
+        for v in nodes:
+            eidx = np.nonzero(dst == v)[0]
+            boxes.append(msg[eidx])
+            es.append(eig[src[eidx]])
+            ed.append(eig[dst[eidx]])
+        h = torch.from_numpy(np.stack(boxes))
+        eig_s = torch.from_numpy(np.stack(es))
+        eig_d = torch.from_numpy(np.stack(ed))
+        hv = torch.from_numpy(h_in[nodes])
+        out[nodes] = t2n(fn(h, eig_s, eig_d, hv))
+    return out
+
+
+MAILBOX_NAMES = sorted(ref_mb_agg.AGGREGATORS)
+
+
+@pytest.mark.parametrize("name", MAILBOX_NAMES)
+def test_mailbox_aggregator_vs_reference(name, rng):
+    src, dst, deg, eig, h_in, msg = random_graph(rng)
+    want = mailbox_reduce(name, src, dst, deg, eig, h_in, msg)
+
+    ctx = agg_ops.build_edge_context(
+        jnp.asarray(eig), jnp.asarray(src), jnp.asarray(dst),
+        jnp.ones(len(src), bool), jnp.asarray(deg.astype(np.int32)),
+        names=[name])
+    got = np.asarray(agg_ops.aggregate((name,), ctx, jnp.asarray(msg),
+                                       jnp.asarray(h_in)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["identity", "amplification", "attenuation"])
+def test_mailbox_scaler_vs_reference(name, rng):
+    src, dst, deg, eig, h_in, msg = random_graph(rng)
+    h = rng.normal(size=h_in.shape).astype(np.float32)
+    want = np.zeros_like(h)
+    for d in np.unique(deg):
+        nodes = np.nonzero(deg == d)[0]
+        # reference scalers receive D = the mailbox depth (true in-degree)
+        want[nodes] = t2n(ref_mb_scalers.SCALERS[name](
+            torch.from_numpy(h[nodes]), D=int(d), avg_d=AVG_D))
+    got = np.asarray(scaler_ops.SCALERS[name](
+        jnp.asarray(h), jnp.asarray(deg.astype(np.float32)), AVG_D))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ================================================================ primitives
+
+def fc_params(tfc):
+    """torch nets.layers.FCLayer -> flax dgn_tpu.nn.FCLayer params."""
+    p = {"kernel": t2n(tfc.linear.weight).T}
+    if tfc.linear.bias is not None:
+        p["bias"] = t2n(tfc.linear.bias)
+    stats = {}
+    if tfc.b_norm is not None:
+        p["MaskedBatchNorm_0"] = {"scale": t2n(tfc.b_norm.weight),
+                                  "bias": t2n(tfc.b_norm.bias)}
+        stats["MaskedBatchNorm_0"] = {"mean": t2n(tfc.b_norm.running_mean),
+                                      "var": t2n(tfc.b_norm.running_var)}
+    return p, stats
+
+
+def mlp_params(tm):
+    """torch nets.layers.MLP -> flax dgn_tpu.nn.MLP params."""
+    params, stats = {}, {}
+    for i, fc in enumerate(tm.fully_connected):
+        p, s = fc_params(fc)
+        params[f"FCLayer_{i}"] = p
+        if s:
+            stats[f"FCLayer_{i}"] = s
+    return params, stats
+
+
+@pytest.mark.parametrize("act", ["relu", "leakyrelu", "tanh", "none"])
+def test_fclayer_vs_reference(act, rng):
+    torch.manual_seed(7)
+    x = rng.normal(size=(16, 9)).astype(np.float32)
+    tfc = ref_layers.FCLayer(9, 5, activation=act if act != "none" else "none")
+    # re-randomize so parity isn't an artifact of the zero-bias init
+    with torch.no_grad():
+        tfc.linear.weight.normal_()
+        tfc.linear.bias.normal_()
+    tfc.eval()
+    want = t2n(tfc(torch.from_numpy(x)))
+    ours = tnn.FCLayer(5, activation=act)
+    p, _ = fc_params(tfc)
+    got = np.asarray(ours.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fclayer_batchnorm_train_and_eval_vs_reference(rng):
+    torch.manual_seed(7)
+    x = rng.normal(size=(32, 6)).astype(np.float32)
+    tfc = ref_layers.FCLayer(6, 4, activation="relu", b_norm=True)
+    with torch.no_grad():
+        tfc.linear.weight.normal_()
+        tfc.b_norm.weight.normal_()
+        tfc.b_norm.bias.normal_()
+        tfc.b_norm.running_mean.normal_()
+        tfc.b_norm.running_var.uniform_(0.5, 2.0)
+    p, stats = fc_params(tfc)
+    ours = tnn.FCLayer(4, activation="relu", b_norm=True)
+
+    # train mode: batch statistics
+    tfc.train()
+    want = t2n(tfc(torch.from_numpy(x)))
+    got, _ = ours.apply({"params": p, "batch_stats": stats}, jnp.asarray(x),
+                        deterministic=False, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    # eval mode: running statistics
+    tfc.eval()
+    want = t2n(tfc(torch.from_numpy(x)))
+    got = ours.apply({"params": p, "batch_stats": stats}, jnp.asarray(x),
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("layers", [1, 2, 3])
+def test_mlp_vs_reference(layers, rng):
+    torch.manual_seed(7)
+    x = rng.normal(size=(10, 8)).astype(np.float32)
+    tm = ref_layers.MLP(in_size=8, hidden_size=12, out_size=5, layers=layers,
+                        mid_activation="relu", last_activation="none")
+    with torch.no_grad():
+        for fc in tm.fully_connected:
+            fc.linear.weight.normal_(std=0.5)
+            fc.linear.bias.normal_(std=0.5)
+    tm.eval()
+    want = t2n(tm(torch.from_numpy(x)))
+    ours = tnn.MLP(hidden_size=12, out_size=5, layers=layers,
+                   mid_activation="relu", last_activation="none")
+    p, _ = mlp_params(tm)
+    got = np.asarray(ours.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("decreasing", [True, False])
+def test_mlp_readout_vs_reference(decreasing, rng):
+    x = rng.normal(size=(6, 16)).astype(np.float32)
+    torch.manual_seed(7)
+    tm = ref_readout.MLPReadout(16, 3, L=2, decreasing_dim=decreasing)
+    want = t2n(tm(torch.from_numpy(x)))
+    ours = tnn.MLPReadout(3, L=2, decreasing_dim=decreasing)
+    p = {f"Linear_{i}": {"kernel": t2n(fc.weight).T, "bias": t2n(fc.bias)}
+         for i, fc in enumerate(tm.FC_layers)}
+    got = np.asarray(ours.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ============================================================== dense engine
+
+def random_adj(rng, b=2, n=10, symmetric=True, weighted=True):
+    a = (rng.random((b, n, n)) < 0.35).astype(np.float32)
+    if weighted:
+        a *= rng.uniform(0.5, 1.5, (b, n, n)).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + np.swapaxes(a, -1, -2)
+    # ensure no isolated nodes: chain every consecutive pair
+    for i in range(n - 1):
+        w = 1.0 if not weighted else float(rng.uniform(0.5, 1.5))
+        a[:, i, i + 1] = np.maximum(a[:, i, i + 1], w)
+        a[:, i + 1, i] = a[:, i, i + 1]
+    return a
+
+
+@pytest.mark.parametrize("normalization", ["none", "row-abs", "in-out-field"])
+@pytest.mark.parametrize("add_diag", [True, False])
+def test_grad_adjacency_vs_reference(normalization, add_diag, rng):
+    adj = random_adj(rng)
+    feat = rng.normal(size=adj.shape[:-1]).astype(np.float32)
+    want = t2n(ref_eigen.get_adjacency_from_gradient_of_features(
+        torch.from_numpy(adj), torch.from_numpy(feat),
+        normalization=normalization, add_diag=add_diag, absolute_adj=False))
+    got = np.asarray(spectral.grad_adjacency(
+        jnp.asarray(adj), jnp.asarray(feat), normalization=normalization,
+        add_diag=add_diag, absolute_adj=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_eig_adjacency_runtime_vs_reference(rng):
+    """The precomputed-eigvec variant (models/pytorch/aggregators.py:176-200)."""
+    adj = random_adj(rng)
+    eigvec = rng.normal(size=(2, 10, 4)).astype(np.float32)
+    want = ref_dense_agg.get_eig_adjacency(
+        torch.from_numpy(adj), [0, 1, 2], torch.from_numpy(eigvec),
+        normalization="row-abs", add_diag=True, eig_acos=True)
+    got = spectral.eig_adjacency(
+        jnp.asarray(adj), [0, 1, 2], eigvec=jnp.asarray(eigvec),
+        normalization="row-abs", add_diag=True, eig_acos=True)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), t2n(want[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg_type", ["derivative", "smoothing", "both"])
+def test_aggregate_dirs_vs_reference(agg_type, rng):
+    adj = random_adj(rng)
+    eigvec = rng.normal(size=(2, 10, 4)).astype(np.float32)
+    X = rng.normal(size=(2, 10, 10, 5)).astype(np.float32)
+    want = t2n(ref_dense_agg.aggregate_dirs(
+        torch.from_numpy(X), torch.from_numpy(adj), torch.from_numpy(eigvec),
+        [1, 2], normalization="row-abs", add_diag=True, agg_type=agg_type,
+        eig_acos=True))
+    got = np.asarray(spectral.aggregate_eigs(
+        jnp.asarray(X), jnp.asarray(adj), [1, 2],
+        eigvec=jnp.asarray(eigvec), normalization="row-abs", add_diag=True,
+        agg_type=agg_type, eig_acos=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+DENSE_STD = ["mean", "sum", "max", "min", "identity", "std", "var",
+             "normalised_mean", "moment3", "moment4", "moment5",
+             "mean_amplified", "mean_attenuated"]
+
+
+@pytest.mark.parametrize("name", DENSE_STD)
+def test_dense_aggregator_vs_reference(name, rng):
+    adj = random_adj(rng)
+    X = rng.normal(size=(2, 10, 10, 5)).astype(np.float32)
+    want = t2n(ref_dense_agg.AGGREGATORS[name](
+        torch.from_numpy(X), torch.from_numpy(adj), avg_d=AVG_D))
+    got = np.asarray(dense_agg.AGGREGATORS[name](
+        jnp.asarray(X), jnp.asarray(adj), avg_d=AVG_D))
+    if name.startswith("moment"):
+        # sign(m)(|m|+EPS)^(1/n) jumps by EPS^(1/n) at m=0; where the exact
+        # centered moment is within f32 noise of 0 the reference output's
+        # SIGN is itself rounding noise (we deliberately snap those to 0 —
+        # dense/aggregators.py) — compare only where the moment is resolved.
+        n = int(name[-1])
+        D = adj.sum(-1, keepdims=True)
+        mean = (X * adj[..., None]).sum(-2) / D
+        m_n = (((X - mean[..., :, None, :]) ** n) * adj[..., None]
+               ).astype(np.float64).sum(-2) / D
+        resolved = np.abs(m_n) > 1e-5
+        got, want = got[resolved], want[resolved]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["identity", "amplification", "attenuation",
+                                  "linear", "inverse_linear"])
+def test_dense_scaler_vs_reference(name, rng):
+    adj = random_adj(rng)
+    X = rng.normal(size=(2, 10, 5)).astype(np.float32)
+    want = t2n(ref_dense_scalers.SCALERS[name](
+        torch.from_numpy(X), torch.from_numpy(adj), avg_d=AVG_D))
+    got = np.asarray(dense_scalers.SCALERS[name](
+        jnp.asarray(X), jnp.asarray(adj), avg_d=AVG_D))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def _align_sign(v, ref):
+    """Eigenvector sign is arbitrary: flip each column of v toward ref.
+    If v and ref hold different vectors the dot is ~0 and the comparison
+    still fails loudly."""
+    s = np.sign(np.sum(v * ref, axis=-2, keepdims=True))
+    return v * np.where(s == 0, 1.0, s)
+
+
+def test_k_lowest_eig_vs_reference_connected(rng):
+    _ensure_symeig()
+    adj = random_adj(rng, b=3, n=9)
+    want = t2n(ref_eigen.get_k_lowest_eig(torch.from_numpy(adj), 4))
+    got = np.asarray(spectral.k_lowest_eigvecs(jnp.asarray(adj), 4))
+    np.testing.assert_allclose(_align_sign(got, want), want,
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_k_lowest_eig_vs_reference_disconnected(rng):
+    """Two components per graph — exercises the reference's rounding loop vs
+    our transitive-closure redistribution (eigen_agg.py:115-148)."""
+    _ensure_symeig()
+    a1 = random_adj(rng, b=2, n=5)
+    a2 = random_adj(rng, b=2, n=6)
+    adj = np.zeros((2, 11, 11), np.float32)
+    adj[:, :5, :5] = a1
+    adj[:, 5:, 5:] = a2
+    want = t2n(ref_eigen.get_k_lowest_eig(torch.from_numpy(adj), 4))
+    got = np.asarray(spectral.k_lowest_eigvecs(jnp.asarray(adj), 4))
+    # column 0 must be exactly zero for disconnected graphs
+    assert np.abs(got[..., 0]).max() == 0
+    assert np.abs(want[..., 0]).max() == 0
+    # each component's rows carry an independent sign freedom per column —
+    # align per (component block x column)
+    for rows in (slice(0, 5), slice(5, 11)):
+        np.testing.assert_allclose(
+            _align_sign(got[:, rows], want[:, rows]), want[:, rows],
+            rtol=1e-3, atol=3e-3)
+
+
+# ============================================================ dense DGN layer
+
+def dense_tower_params(tt):
+    """torch models/pytorch DGNTower -> flax DenseDGNTower params."""
+    def ref_mlp(tm):
+        return {f"FCLayer_{i}": {"kernel": t2n(fc.linear.weight).T,
+                                 "bias": t2n(fc.linear.bias)}
+                for i, fc in enumerate(tm.fully_connected)}
+    return {"MLP_0": ref_mlp(tt.pretrans), "MLP_1": ref_mlp(tt.posttrans)}
+
+
+def test_dense_dgn_layer_vs_reference(rng):
+    _ensure_symeig()
+    aggs = ["mean", "max", "dir1-dx"]
+    scals = ["identity", "amplification"]
+    B, N, F = 2, 10, 8
+    adj = random_adj(rng, b=B, n=N)
+    x = rng.normal(size=(B, N, F)).astype(np.float32)
+    eigvec = rng.normal(size=(B, N, 3)).astype(np.float32)
+
+    torch.manual_seed(7)
+    tl = ref_dense_layer.DGNLayer(
+        in_features=F, out_features=F, aggregators=aggs, scalers=scals,
+        NN_eig=False, avg_d=AVG_D, eigs=[1], towers=2, self_loop=False,
+        pretrans_layers=1, posttrans_layers=1, divide_input=True,
+        device="cpu")
+    with torch.no_grad():
+        for p in tl.parameters():
+            p.normal_(std=0.3)
+    tl.eval()
+    want = t2n(tl(torch.from_numpy(x), torch.from_numpy(adj),
+                  torch.from_numpy(eigvec)))
+
+    ours = dense_layer.DenseDGNLayer(
+        out_features=F, aggregators=tuple(aggs), scalers=tuple(scals),
+        avg_d=AVG_D, towers=2, divide_input=True)
+    params = {
+        f"DenseDGNTower_{i}": dense_tower_params(tl.towers[i])
+        for i in range(2)}
+    params["FCLayer_0"] = {
+        "kernel": t2n(tl.mixing_network.linear.weight).T,
+        "bias": t2n(tl.mixing_network.linear.bias)}
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                jnp.asarray(adj), jnp.asarray(eigvec)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -68,6 +68,8 @@ class ExperimentConfig:
             return "hiv"
         if d == "PCBA":
             return "pcba"
+        if d == "COLLAB":
+            return "collab"
         raise ValueError(f"unknown dataset {self.dataset!r}")
 
 

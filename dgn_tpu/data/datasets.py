@@ -402,6 +402,70 @@ def load_ogb(name: str, dp: DataParams) -> DatasetSplits:
                          splits["test"], meta={"n_tasks": n_tasks})
 
 
+# -------------------------------------------------------------- ogbl-collab
+
+def load_collab(dp: DataParams, k_eig: int = 3):
+    """ogbl-collab link-prediction data: ONE big graph + edge splits.
+
+    Parses the OGB raw layout under <data_dir>/ogbl_collab/ the same way the
+    molecule loaders do: raw/{num-node-list,node-feat,edge}.csv(.gz) and
+    split/time/{train,valid,test}.pt (torch tensor dicts with 'edge' and, for
+    valid/test, 'edge_neg' — the fixed negative sets Hits@K is scored
+    against).  CSV fixtures ({split}-edge.csv / {split}-edge-neg.csv) are
+    accepted in place of the .pt files.  The message-passing graph is built
+    from the TRAIN positive edges only (both directions) — the OGB protocol
+    the reference's orphaned COLLAB trainer consumed
+    (reference train/train_COLLAB_edge_classification.py:44-52,115-145).
+
+    Returns (GraphData, splits, meta) with splits mapping
+    train/valid/test -> [K, 2] int positive edges and valid_neg/test_neg ->
+    fixed negatives.  Synthetic community graphs stand in when the files are
+    absent.
+    """
+    root = os.path.join(dp.data_dir, "ogbl_collab") if dp.data_dir else ""
+    cache = spectral.EigCache(dp.cache_dir or None)
+    if root and os.path.exists(os.path.join(root, "raw")):
+        raw = os.path.join(root, "raw")
+        n = int(_read_csv(_find(os.path.join(raw, "num-node-list.csv"))
+                          ).reshape(-1)[0])
+        nfeat = _read_csv(_find(os.path.join(raw, "node-feat.csv")),
+                          np.float32)
+        split_dir = os.path.join(root, "split", "time")
+
+        def load_split(name):
+            pt = os.path.join(split_dir, f"{name}.pt")
+            if os.path.exists(pt):
+                import torch
+                d = torch.load(pt, map_location="cpu", weights_only=True)
+                return {k: _to_numpy(v) for k, v in d.items()}
+            out = {"edge": _read_csv(
+                _find(os.path.join(split_dir, f"{name}-edge.csv")))}
+            neg = _find(os.path.join(split_dir, f"{name}-edge-neg.csv"))
+            if neg:
+                out["edge_neg"] = _read_csv(neg)
+            return out
+
+        tr, va, te = (load_split(s) for s in ("train", "valid", "test"))
+        pos = tr["edge"].astype(np.int64)
+        src = np.concatenate([pos[:, 0], pos[:, 1]]).astype(np.int32)
+        dst = np.concatenate([pos[:, 1], pos[:, 0]]).astype(np.int32)
+        eig = (cache.get(n, src, dst, k_eig, dp.lap_norm) if cache
+               else spectral.graph_eig(n, src, dst, k_eig, dp.lap_norm))
+        g = GraphData(num_nodes=n, src=src, dst=dst,
+                      node_feat=nfeat.astype(np.float32), eig=eig,
+                      label=np.zeros(1, np.float32))
+        splits = {"train": pos.astype(np.int32),
+                  "valid": va["edge"].astype(np.int32),
+                  "valid_neg": va["edge_neg"].astype(np.int32),
+                  "test": te["edge"].astype(np.int32),
+                  "test_neg": te["edge_neg"].astype(np.int32)}
+    else:
+        g, splits = synthetic.synthetic_collab(
+            num_nodes=max(dp.synthetic_size, 128), seed=1, k_eig=k_eig)
+    meta = {"in_dim": g.node_feat.shape[-1], "num_nodes": g.num_nodes}
+    return g, splits, meta
+
+
 # ----------------------------------------------------------------- registry
 
 def load_dataset(name: str, dp: DataParams) -> DatasetSplits:

@@ -156,11 +156,58 @@ def prepare(cfg, n_devices: int = 1, partition: str = "dp"):
     return ds, model, loss_fn, trainer, loaders, example
 
 
+def run_collab(cfg):
+    """Link-prediction driver (ogbl-collab protocol): one big graph, batched
+    positive edges + real-node negative sampling, Hits@K eval — the runnable
+    form of the reference's orphaned COLLAB trainer
+    (reference train/train_COLLAB_edge_classification.py)."""
+    import dataclasses as dc
+
+    from .data.datasets import load_collab
+    from .graph import pack_graphs
+    from .ops.scalers import degree_stats
+    from .train.link_pred import LinkPredTrainer, collab_model
+
+    t0 = time.time()
+    g, splits, meta = load_collab(cfg.data)
+    degs = np.bincount(g.dst, minlength=g.num_nodes)
+    np_cfg = dc.replace(cfg.net_params, node_encoder="linear",
+                        avg_d=degree_stats(degs))
+    model = collab_model(np_cfg)
+    gb = pack_graphs([g], g_pad=1)
+    trainer = LinkPredTrainer(model, cfg.params)
+    variables, opt_state = trainer.init(gb)
+    best_val, test_at_best = -1.0, None
+    for epoch in range(cfg.params.epochs):
+        variables, opt_state, loss = trainer.train_epoch(
+            variables, opt_state, gb, splits["train"], epoch)
+        val = trainer.evaluate(variables, gb, splits["valid"],
+                               splits["valid_neg"])
+        test = trainer.evaluate(variables, gb, splits["test"],
+                                splits["test_neg"])
+        trainer.scheduler.step(-val["hits@50"])
+        if val["hits@50"] > best_val:
+            best_val, test_at_best = val["hits@50"], test
+        if epoch % cfg.params.print_epoch_interval == 0:
+            print(f"epoch {epoch}: loss={loss:.4f} val={val} test={test}")
+        if trainer.scheduler.lr <= cfg.params.min_lr * (1 + 1e-9):
+            break
+        if (time.time() - t0) / 3600.0 > cfg.params.max_time:
+            break
+    report = {"dataset": "COLLAB", "best_val_hits@50": best_val,
+              "test_at_best_val": test_at_best,
+              "total_time_h": (time.time() - t0) / 3600.0}
+    print("[dgn_tpu] FINAL " + json.dumps(report, default=float))
+    return report
+
+
 def run(argv=None):
     from .config import config_from_args
     from .train.checkpoint import Checkpointer
 
     cfg, args = config_from_args(argv)
+    if cfg.task == "collab":
+        return run_collab(cfg)
     n_devices = args.n_devices or 1
     partition = getattr(args, "partition", "dp")
     print(f"[dgn_tpu] dataset={cfg.dataset} task={cfg.task} "

@@ -100,8 +100,13 @@ class LinkPredTrainer:
                 pos = self.model.apply(v, h, pos_edges[:, 0],
                                        pos_edges[:, 1],
                                        method=self.model.predict)
+                # negatives drawn from REAL nodes only (pack_graphs places
+                # them first) — the reference samples torch.randint(0,
+                # x.size(0)) over real nodes (train_COLLAB_edge_
+                # classification.py:49); padded slots would be trivially
+                # separable and inflate Hits@K
                 neg_edges = jax.random.randint(
-                    neg_rng, pos_edges.shape, 0, gb.num_nodes_padded)
+                    neg_rng, pos_edges.shape, 0, gb.real_node_count())
                 neg = self.model.apply(v, h, neg_edges[:, 0],
                                        neg_edges[:, 1],
                                        method=self.model.predict)

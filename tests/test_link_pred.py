@@ -68,3 +68,102 @@ def test_collab_rotation_augmentation_path():
     variables, opt_state, loss = trainer.train_epoch(
         variables, opt_state, gb, splits["train"], 0)
     assert np.isfinite(loss)
+
+
+def test_negative_sampling_never_hits_padding():
+    """Negatives must come from REAL node slots only (the reference samples
+    torch.randint(0, x.size(0)) over real nodes; padded-slot embeddings are
+    degenerate and would inflate Hits@K)."""
+    g, splits = synthetic.synthetic_collab(num_nodes=100, seed=5)
+    gb = pack_graphs([g], n_pad=256, g_pad=1)   # 156 pad slots
+    cfg = DGNConfig(hidden_dim=8, out_dim=8, L=1, type_net="simple",
+                    aggregators="mean", scalers="identity",
+                    avg_d={"log": 1.5, "lin": 5.0}, node_encoder="linear")
+    model = collab_model(cfg)
+    trainer = LinkPredTrainer(model, TrainParams(init_lr=1e-3, seed=1),
+                              edge_batch=64)
+    variables, opt_state = trainer.init(gb)
+
+    seen = []
+    orig = jax.random.randint
+
+    def spy(key, shape, minval, maxval, *a, **k):
+        out = orig(key, shape, minval, maxval, *a, **k)
+        if shape == (64, 2):
+            seen.append(out)
+        return out
+
+    jax.random.randint = spy
+    try:
+        with jax.disable_jit():
+            trainer.train_epoch(variables, opt_state, gb, splits["train"], 0)
+    finally:
+        jax.random.randint = orig
+    assert seen, "negative sampling path not exercised"
+    for s in seen:
+        assert int(jnp.max(s)) < 100, "negative edge hit a padded node slot"
+
+
+def test_collab_raw_loader_fixture(tmp_path):
+    """Round-trip the ogbl-collab raw csv layout through load_collab."""
+    import gzip
+
+    from dgn_tpu.config import DataParams
+    from dgn_tpu.data.datasets import load_collab
+
+    root = tmp_path / "ogbl_collab"
+    raw = root / "raw"
+    split = root / "split" / "time"
+    raw.mkdir(parents=True)
+    split.mkdir(parents=True)
+
+    n = 12
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(n, 5)).astype(np.float32)
+    train_e = np.array([[i, (i + 1) % n] for i in range(n)] +
+                       [[i, (i + 3) % n] for i in range(n)])
+    val_e = np.array([[0, 5], [2, 7]])
+    val_neg = np.array([[1, 8], [3, 9], [4, 10]])
+    test_e = np.array([[1, 6]])
+    test_neg = np.array([[2, 9], [5, 11]])
+
+    def wcsv(path, arr, fmt="%d"):
+        with gzip.open(path, "wt") as f:
+            np.savetxt(f, np.atleast_2d(arr), fmt=fmt, delimiter=",")
+
+    wcsv(raw / "num-node-list.csv.gz", np.array([[n]]))
+    wcsv(raw / "num-edge-list.csv.gz", np.array([[len(train_e)]]))
+    wcsv(raw / "edge.csv.gz", train_e)
+    wcsv(raw / "node-feat.csv.gz", feat, fmt="%.6f")
+
+    # .pt split files, the real OGB artifact shape
+    import torch
+    torch.save({"edge": torch.from_numpy(train_e)}, split / "train.pt")
+    torch.save({"edge": torch.from_numpy(val_e),
+                "edge_neg": torch.from_numpy(val_neg)}, split / "valid.pt")
+    torch.save({"edge": torch.from_numpy(test_e),
+                "edge_neg": torch.from_numpy(test_neg)}, split / "test.pt")
+
+    g, splits, meta = load_collab(DataParams(data_dir=str(tmp_path)),
+                                  k_eig=3)
+    assert g.num_nodes == n
+    assert meta["in_dim"] == 5
+    np.testing.assert_array_equal(splits["train"], train_e)
+    np.testing.assert_array_equal(splits["valid"], val_e)
+    np.testing.assert_array_equal(splits["valid_neg"], val_neg)
+    np.testing.assert_array_equal(splits["test_neg"], test_neg)
+    # message-passing graph = train edges, both directions
+    assert len(g.src) == 2 * len(train_e)
+    assert g.eig.shape == (n, 3)
+    np.testing.assert_allclose(g.node_feat, feat, atol=1e-5)  # %.6f fixture
+
+
+def test_collab_cli_driver_runs():
+    from dgn_tpu.run import run
+    report = run(["--dataset", "COLLAB", "--epochs", "1",
+                  "--synthetic_size", "96", "--hidden_dim", "8",
+                  "--out_dim", "8", "--L", "1",
+                  "--aggregators", "mean", "--scalers", "identity",
+                  "--batch_size", "64"])
+    assert "test_at_best_val" in report
+    assert 0.0 <= report["best_val_hits@50"] <= 1.0

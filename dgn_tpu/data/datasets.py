@@ -198,6 +198,33 @@ def load_sbm(name: str, dp: DataParams) -> DatasetSplits:
 
 # -------------------------------------------------------------- superpixels
 
+def _knn_edges(A: np.ndarray, kth: int = 9
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's exact k-NN selection (compute_edges_list,
+    reference data/superpixels.py:50-69) — reproduced call-for-call so the
+    edge sets are byte-identical.  Its quirk: for n > 9 it argpartitions the
+    similarity row and slices [new_kth:-1], i.e. keeps 8 of the TOP-9
+    entries, dropping whichever one argpartition's introselect happens to
+    leave in the last slot (arbitrary but deterministic).  A cleaner top-8
+    rule would silently drift every real-data edge set, so the quirk stays
+    (pinned against the reference module in tests/test_reference_parity.py).
+    """
+    n = A.shape[0]
+    new_kth = n - kth
+    if n > 9:
+        knns = np.argpartition(A, new_kth - 1, axis=-1)[:, new_kth:-1]
+        knn_values = np.partition(A, new_kth - 1, axis=-1)[:, new_kth:-1]
+    else:
+        # fewer than kth nodes: fully connected minus the self loop
+        knns = np.tile(np.arange(n), n).reshape(n, n)
+        knn_values = A
+        if n != 1:
+            keep = knns != np.arange(n)[:, None]
+            knn_values = A[keep].reshape(n, -1)
+            knns = knns[keep].reshape(n, -1)
+    return knns, knn_values
+
+
 def _gaussian_knn_graph(coord: np.ndarray, feat: np.ndarray, knn: int = 8
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Gaussian-kernel adjacency over coord+feature distances, k-NN
@@ -207,6 +234,8 @@ def _gaussian_knn_graph(coord: np.ndarray, feat: np.ndarray, knn: int = 8
     f_dist = np.linalg.norm(feat[:, None] - feat[None, :], axis=-1)
 
     def sigma(d):
+        # reference sigma(): mean of the kth+1 smallest distances; graphs
+        # with n <= kth hit the ValueError fallback (superpixels.py:17-29)
         if n <= knn:
             return np.ones((n, 1)) + 1e-8
         kn = np.partition(d, knn, axis=-1)[:, knn::-1]
@@ -215,17 +244,16 @@ def _gaussian_knn_graph(coord: np.ndarray, feat: np.ndarray, knn: int = 8
     A = np.exp(-(c_dist / sigma(c_dist)) ** 2 - (f_dist / sigma(f_dist)) ** 2)
     A = 0.5 * (A + A.T)
     np.fill_diagonal(A, 0)
-    # top-(knn) neighbours per node, excluding self (compute_edges_list,
-    # kth = knn+1 incl. the zeroed diagonal)
-    kth = min(knn + 1, n)
+    knns, knn_values = _knn_edges(A, kth=knn + 1)
     srcs, dsts, vals = [], [], []
     for i in range(n):
-        nbr = np.argsort(-A[i])[:kth - 1] if n <= 9 else \
-            np.argpartition(-A[i], kth - 1)[:kth - 1]
-        nbr = nbr[nbr != i]
+        nbr, v = knns[i], knn_values[i]
+        if n != 1:
+            keep = nbr != i     # reference g.add_edges(src, dsts[dsts != src])
+            nbr, v = nbr[keep], v[keep]
         srcs += [i] * len(nbr)
         dsts += list(nbr)
-        vals += list(A[i, nbr])
+        vals += list(v)
     return (np.array(srcs, np.int32), np.array(dsts, np.int32),
             np.array(vals, np.float32))
 

@@ -436,3 +436,44 @@ def test_dense_dgn_layer_vs_reference(rng):
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
                                 jnp.asarray(adj), jnp.asarray(eigvec)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# =========================================================== superpixels kNN
+
+def _import_ref_superpixels():
+    """reference data/superpixels.py imports dgl at module level but its
+    adjacency/kNN helpers never use it — stub dgl to import them."""
+    import types
+    sys.modules.setdefault("dgl", types.ModuleType("dgl"))
+    import importlib
+    return importlib.import_module("data.superpixels")
+
+
+@pytest.mark.parametrize("n", [1, 5, 9, 10, 40, 75])
+def test_superpixel_knn_edges_vs_reference(n, rng):
+    """Byte-identical edge sets vs the reference's compute_adjacency /
+    compute_edges_list — including the n>9 quirk where 8 of the top-9
+    similarities are kept (the dropped one is argpartition-dependent)."""
+    ref_sp = _import_ref_superpixels()
+    from dgn_tpu.data.datasets import _gaussian_knn_graph
+
+    coord = rng.random((n, 2)).astype(np.float64)
+    feat = rng.random((n, 3)).astype(np.float64)
+
+    A = ref_sp.compute_adjacency_matrix_images(coord, feat, use_feat=True)
+    knns, knn_values = ref_sp.compute_edges_list(A)
+    ref_src, ref_dst, ref_val = [], [], []
+    for i, (dsts_i, vals_i) in enumerate(zip(knns, knn_values)):
+        if n != 1:
+            keep = dsts_i != i     # SuperPixDGL._prepare add_edges filter
+            dsts_i, vals_i = dsts_i[keep], vals_i[keep]
+        ref_src += [i] * len(dsts_i)
+        ref_dst += list(dsts_i)
+        ref_val += list(vals_i)
+
+    src, dst, val = _gaussian_knn_graph(coord, feat)
+    # compare as sorted (src, dst, value) triples — emission order is free
+    ours = sorted(zip(src.tolist(), dst.tolist(), np.round(val, 8).tolist()))
+    want = sorted(zip(ref_src, ref_dst,
+                      np.round(np.array(ref_val, np.float32), 8).tolist()))
+    assert ours == want

@@ -44,11 +44,19 @@ class HaloSpec:
       [n_local, n_local+H)  halo slots — read-only copies of remote nodes
 
     After every layer updates h, the halo region is stale; halo_refresh()
-    re-fetches it from the owners with one all_gather over `axis` (the
-    GNN analogue of ring-attention's block exchange, SURVEY.md §5).
+    re-fetches it from the owners (the GNN analogue of ring-attention's
+    block exchange, SURVEY.md §5) with BOUNDARY-ONLY traffic: each shard
+    ships exactly the rows its peers' halos reference (send_idx), one
+    all_to_all over `axis` swaps the buffers, and recv_perm routes received
+    rows into halo slots.  Traffic per shard = P x S x F where S = max rows
+    any (owner, peer) pair exchanges — proportional to the halo size, not
+    to n_local (the legacy all_gather fallback shipped P x n_local x F).
     """
     halo_shard: jax.Array   # [H] int32 owner shard id per halo slot
     halo_local: jax.Array   # [H] int32 owner-local node index
+    # boundary-only exchange plan (host-precomputed; None -> all_gather)
+    send_idx: Optional[jax.Array] = None   # [P, S] own rows to send peer p
+    recv_perm: Optional[jax.Array] = None  # [H] slot in the [P*S] recv buffer
     n_local: int = dataclasses.field(metadata=dict(static=True), default=0)
     axis: str = dataclasses.field(metadata=dict(static=True), default="ep")
 
@@ -56,12 +64,22 @@ class HaloSpec:
 def halo_refresh(h: jax.Array, spec: HaloSpec) -> jax.Array:
     """Refresh the halo region of per-node array h from the owner shards.
 
-    Runs inside shard_map over spec.axis: all_gather the own-node region
-    (rides ICI), then gather each halo slot from its owner's copy.
+    Runs inside shard_map over spec.axis.  Boundary-only path: gather the
+    requested own rows per peer ([P, S, F]), all_to_all (device q's received
+    slot p = shard p's buffer for q — rides ICI), permute into halo slots.
+    The gather/all_to_all are differentiable, so gradients flow back to the
+    owner rows through the exchange transpose.
     """
     own = h[: spec.n_local]
-    allh = jax.lax.all_gather(own, spec.axis)          # [P, n_local, ...]
-    halo = allh[spec.halo_shard, spec.halo_local]
+    if spec.send_idx is None:              # legacy full-region exchange
+        allh = jax.lax.all_gather(own, spec.axis)      # [P, n_local, ...]
+        halo = allh[spec.halo_shard, spec.halo_local]
+        return jnp.concatenate([own, halo], axis=0)
+    send = own[spec.send_idx]                          # [P, S, ...]
+    recv = jax.lax.all_to_all(send, spec.axis, split_axis=0, concat_axis=0,
+                              tiled=True)              # [P, S, ...]
+    flat = recv.reshape((-1,) + recv.shape[2:])        # [P*S, ...]
+    halo = flat[spec.recv_perm]
     return jnp.concatenate([own, halo], axis=0)
 
 

@@ -109,6 +109,13 @@ def partition_batch(graphs: Sequence[GraphData], n_shards: int,
     e_pad = _round_up(max((len(e) for e in per_e), default=1), multiple)
     n_ext = n_loc_pad + h_pad
 
+    # ---- boundary-only exchange plan (graph.halo_refresh): send_lists[p][q]
+    # = p-local row ids that q's halo references, in q's (sorted) halo order
+    send_lists = [[halos[q][shard_of_node[halos[q]] == p] - los[p]
+                   for q in range(n_shards)] for p in range(n_shards)]
+    s_max = max((len(l) for row in send_lists for l in row), default=1)
+    s_max = max(int(s_max), 1)
+
     # ---- build each shard's arrays
     def zeros_like_cols(a, rows):
         return np.zeros((rows,) + a.shape[1:], a.dtype)
@@ -184,12 +191,29 @@ def partition_batch(graphs: Sequence[GraphData], n_shards: int,
         hs[:n_halo] = shard_of_node[halo]
         hl[:n_halo] = halo - los[shard_of_node[halo]]
 
+        # sender plan: rows of p to ship to each peer q (0-padded)
+        si = np.zeros((n_shards, s_max), np.int32)
+        for q in range(n_shards):
+            l = send_lists[p][q]
+            si[q, :len(l)] = l
+        # receiver plan: halo slot j <- recv buffer [owner * S + rank], rank
+        # = j's position among this halo's entries with the same owner (the
+        # order send_lists was built in)
+        owners = shard_of_node[halo]
+        rank = np.zeros(n_halo, np.int64)
+        for o in np.unique(owners):
+            m = owners == o
+            rank[m] = np.arange(int(m.sum()))
+        rp = np.zeros(h_pad, np.int32)
+        rp[:n_halo] = owners * s_max + rank
+
         out_shards.append(dict(
             node_feat=nf, node_mask=nm, node_graph=ng, eig=eg,
             in_degree=indeg, snorm_n=sn, src=s_arr, dst=d_arr,
             edge_mask=em, edge_feat=ef, snorm_e=se, graph_mask=gm,
             n_nodes=nn, n_edges=ne, labels=labels, node_labels=nl,
-            pos_enc=pe, halo_shard=hs, halo_local=hl))
+            pos_enc=pe, halo_shard=hs, halo_local=hl,
+            send_idx=si, recv_perm=rp))
 
     def stk(key):
         if out_shards[0][key] is None:
@@ -198,6 +222,8 @@ def partition_batch(graphs: Sequence[GraphData], n_shards: int,
 
     halo_spec = HaloSpec(halo_shard=stk("halo_shard"),
                          halo_local=stk("halo_local"),
+                         send_idx=stk("send_idx"),
+                         recv_perm=stk("recv_perm"),
                          n_local=n_loc_pad, axis=axis)
     return GraphBatch(
         node_feat=stk("node_feat"), node_mask=stk("node_mask"),

@@ -189,3 +189,39 @@ def test_partitioned_loader_epoch():
     assert np.isfinite(metrics["loss"])
     ev = trainer.evaluate(state, loader)
     assert np.isfinite(ev["mae"])
+
+
+def test_boundary_exchange_matches_all_gather_and_shrinks_traffic():
+    """The boundary-only all_to_all exchange moves exactly the same rows as
+    the legacy full-region all_gather, with traffic proportional to the halo
+    size instead of to n_local."""
+    from jax.sharding import PartitionSpec as P
+
+    from dgn_tpu.graph import HaloSpec, halo_refresh
+
+    graphs = synthetic.synthetic_zinc(64, seed=7)
+    pb = partition_batch(graphs, N_DEV)
+    spec = pb.halo
+    n_local = spec.n_local
+    f_dim = 5
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(
+        size=(N_DEV, pb.node_mask.shape[1], f_dim)).astype(np.float32))
+
+    def core(h, hs, hl, si, rp):
+        new = HaloSpec(hs[0], hl[0], si[0], rp[0], n_local=n_local, axis="ep")
+        old = HaloSpec(hs[0], hl[0], None, None, n_local=n_local, axis="ep")
+        a = halo_refresh(h[0], new)
+        b = halo_refresh(h[0], old)
+        return jnp.max(jnp.abs(a - b))[None]
+
+    diff = jax.jit(jax.shard_map(
+        core, mesh=_mesh(),
+        in_specs=(P("ep"), P("ep"), P("ep"), P("ep"), P("ep")),
+        out_specs=P("ep")))(h, spec.halo_shard, spec.halo_local,
+                            spec.send_idx, spec.recv_perm)
+    assert float(jnp.max(diff)) == 0.0
+
+    # traffic: P x S rows vs P x n_local rows
+    s_max = spec.send_idx.shape[-1]
+    assert N_DEV * s_max < n_local, (s_max, n_local)

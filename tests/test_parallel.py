@@ -103,3 +103,15 @@ def test_dp_handles_ragged_last_superbatch():
     state = tr.init_state(jax.tree_util.tree_map(lambda x: x[0], gb0))
     state, m = tr.train_epoch(state, loader, 0)
     assert np.isfinite(m["loss"])
+
+
+def test_scaling_harness_runs():
+    """1->N scaling harness produces step times + efficiencies for both
+    partitioning strategies (virtual mesh -> numbers indicative only)."""
+    from dgn_tpu.tools.scaling import run_scaling
+    rows = run_scaling(("dp", "ep"), (1, 2), batch=16, hidden=8, L=1,
+                       steps=2, emit=lambda s: None)
+    assert ("dp", 1) in rows and ("ep", 2) in rows
+    for r in rows.values():
+        assert r["step_ms"] > 0
+        assert 0 < r["efficiency"] <= 1.5

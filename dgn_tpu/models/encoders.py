@@ -20,19 +20,26 @@ BOND_FEATURE_DIMS: Tuple[int, ...] = (5, 6, 2)
 
 
 class MultiEmbedding(fnn.Module):
-    """Sum of per-column embeddings of an integer feature matrix [N, C]."""
+    """Sum of per-column embeddings of an integer feature matrix [N, C].
+
+    Lookups are one-hot matmuls, not jnp.take: on TPU take's backward is a
+    per-row scatter-add (~0.65 ms flat regardless of width, ops/mxu.py) —
+    with 9 atom + 3 bond tables that was 12 scatters per HIV/PCBA step.  The
+    one-hot matmul's backward is itself a matmul (MXU work, zero scatters).
+    """
     dims: Tuple[int, ...]
     emb_dim: int
 
     @fnn.compact
     def __call__(self, x):
+        from ..ops.mxu import onehot_embed
         if x.ndim == 1:
             x = x[:, None]
         out = 0.0
         for i, d in enumerate(self.dims):
             table = self.param(f"emb_{i}", fnn.initializers.xavier_uniform(),
                                (d, self.emb_dim))
-            out = out + jnp.take(table, jnp.clip(x[:, i], 0, d - 1), axis=0)
+            out = out + onehot_embed(jnp.clip(x[:, i], 0, d - 1), table)
         return out
 
 

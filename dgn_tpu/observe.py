@@ -157,18 +157,32 @@ def poison_padding(gb: GraphBatch) -> GraphBatch:
 
 
 def step_fingerprint(params) -> int:
-    """Order-stable 64-bit fingerprint of a parameter pytree.
+    """ORDER-SENSITIVE fingerprint of a parameter pytree (FNV-1a-style mix).
 
     Multi-host runs log this per step; diverging fingerprints across hosts
-    expose silent desync (SURVEY.md §5).  Device-friendly: sums bitcast
-    int32 views (commutative, exact) rather than hashing floats.
+    expose silent desync (SURVEY.md §5).  A plain sum of words would be
+    permutation- and swap-invariant — blind to exactly the leaf-ordering /
+    element-transposition desyncs this exists to catch — so every word is
+    mixed with a position-dependent multiplicative hash before combining,
+    and each leaf's contribution is further keyed by its flattened position.
     """
+    PRIME = jnp.uint32(16777619)
     total = jnp.zeros((), jnp.uint32)
-    for leaf in jax.tree_util.tree_leaves(params):
+    for li, leaf in enumerate(jax.tree_util.tree_leaves(params)):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             bits = jax.lax.bitcast_convert_type(
                 leaf.astype(jnp.float32), jnp.uint32)
         else:
             bits = leaf.astype(jnp.uint32)
-        total = total + jnp.sum(bits, dtype=jnp.uint32)
+        bits = bits.reshape(-1)
+        # each element is scaled by a distinct ODD multiplier derived from
+        # its (leaf, element) position, so swapping elements x, y at i, j
+        # shifts the sum by (x - y)(m_i - m_j) != 0 — XOR-with-index mixes
+        # are too weak here ((x ^ 1) == x + 1 for even bit patterns)
+        idx = (jax.lax.iota(jnp.uint32, bits.shape[0])
+               + jnp.uint32((li * 2654435761) & 0xFFFFFFFF))
+        mult = (idx * jnp.uint32(2654435761)
+                + jnp.uint32(2246822519)) | jnp.uint32(1)
+        total = (total * PRIME) ^ jnp.sum(bits * mult + mult,
+                                          dtype=jnp.uint32)
     return int(total)

@@ -66,6 +66,18 @@ def test_step_fingerprint_detects_divergence():
     assert observe.step_fingerprint(p1) != observe.step_fingerprint(p3)
 
 
+def test_step_fingerprint_is_order_sensitive():
+    """A commutative sum would miss element swaps and leaf permutations —
+    exactly the cross-host leaf-ordering desyncs the fingerprint exists to
+    catch."""
+    a = {"w": jnp.asarray([1.0, 2.0, 3.0, 4.0])}
+    b = {"w": jnp.asarray([2.0, 1.0, 3.0, 4.0])}    # element swap
+    assert observe.step_fingerprint(a) != observe.step_fingerprint(b)
+    c = {"x": jnp.asarray([1.0, 2.0]), "y": jnp.asarray([3.0, 4.0])}
+    d = {"x": jnp.asarray([3.0, 4.0]), "y": jnp.asarray([1.0, 2.0])}
+    assert observe.step_fingerprint(c) != observe.step_fingerprint(d)
+
+
 def test_profile_steps_writes_trace(tmp_path):
     f = jax.jit(lambda x: x * 2 + 1)
     out = observe.profile_steps(f, 3, str(tmp_path / "trace"),

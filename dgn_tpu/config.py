@@ -43,6 +43,10 @@ class DataParams:
     #            a one-hot MXU matmul (ops/mxu.py)
     #   auto   — mxu on single-device runs, flat under DP/EP sharding
     layout: str = "auto"
+    # >1: size-bucketed batching (data/loader.py BucketedLoader) — K tight
+    # bucket geometries / K compilations instead of 1 worst-case shape.
+    # Single-device runs only; DP/EP keep one shape per shard.
+    n_buckets: int = 1
 
 
 @dataclasses.dataclass
@@ -204,6 +208,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="execution layout (DataParams.layout)")
     ap.add_argument("--compute_dtype", type=str, default=None,
                     help="matmul input dtype for MXU block ops, e.g. bfloat16")
+    ap.add_argument("--n_buckets", type=int, default=None,
+                    help=">1: size-bucketed batching — K tight bucket shapes "
+                         "(K compilations) instead of 1 worst-case shape")
     # runtime
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint dir (enables save + auto-resume)")

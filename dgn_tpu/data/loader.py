@@ -15,6 +15,109 @@ from ..graph import (GraphBatch, GraphData, bucket_sizes_for,
                      mxu_bucket_sizes, pack_graphs, round_up)
 
 
+class BucketedLoader:
+    """Size-bucketed batching: K compiled shapes instead of 1 worst-case shape.
+
+    `BatchLoader` sizes one (n_pad, e_pad) bucket so that ANY shuffled subset
+    of `batch_size` graphs fits — the sum of the `batch_size` LARGEST graphs.
+    On size-skewed datasets that wastes node/edge slots on every batch that
+    happens to draw small graphs.  This loader explores the other end of the
+    padding-vs-recompilation tradeoff (SURVEY §7 hard part 6): graphs are
+    partitioned into `n_buckets` size classes (equal-count quantiles by node
+    count), each class gets its own tight bucket geometry, and batches are
+    drawn class-homogeneously.  XLA compiles each step once per distinct
+    shape — n_buckets compilations total, amortised over the whole run.
+
+    Semantics notes:
+      * eval metrics are EXACTLY preserved — the metric accumulators weight
+        by real node/edge/graph counts, never by batch count or pad shape;
+      * training dynamics differ slightly from uniform shuffling (batches
+        contain similar-size graphs, so per-batch BatchNorm statistics and
+        snorm distributions shift).  The reference shuffles uniformly, so
+        this stays opt-in (`--n_buckets`, default 1).
+    """
+
+    def __init__(self, graphs: Sequence[GraphData], batch_size: int,
+                 n_buckets: int = 4, shuffle: bool = False, seed: int = 0,
+                 drop_last: bool = False, layout: str = "flat",
+                 packer=None):
+        if layout not in ("flat", "pallas", "mxu"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        self.layout = layout
+        self.packer = packer
+        self.g_pad = (round_up(batch_size, 128) if layout == "mxu"
+                      else batch_size)
+        graphs = list(graphs)
+        # at least one full batch per bucket, else buckets are pure overhead
+        n_buckets = max(1, min(n_buckets, len(graphs) // max(batch_size, 1)))
+        order = np.argsort([g.num_nodes for g in graphs], kind="stable")
+        splits = np.array_split(order, n_buckets)
+        self.buckets: List[List[GraphData]] = []
+        self.geometry: List[tuple] = []   # (n_pad, e_pad) per bucket
+        for part in splits:
+            if len(part) == 0:
+                continue
+            gs = [graphs[int(j)] for j in part]
+            if layout == "mxu":
+                n_pad, e_pad, _ = mxu_bucket_sizes(gs, batch_size)
+            else:
+                n_pad, e_pad = bucket_sizes_for(gs, batch_size)
+            self.buckets.append(gs)
+            self.geometry.append((n_pad, e_pad))
+
+    def __len__(self):
+        total = 0
+        for gs in self.buckets:
+            n = len(gs)
+            total += (n // self.batch_size if self.drop_last
+                      else (n + self.batch_size - 1) // self.batch_size)
+        return total
+
+    def padding_stats(self) -> dict:
+        """Expected node/edge slot efficiency over one epoch (real / padded)."""
+        real_n = real_e = pad_n = pad_e = 0
+        for gs, (n_pad, e_pad) in zip(self.buckets, self.geometry):
+            n_batches = (len(gs) // self.batch_size if self.drop_last
+                         else (len(gs) + self.batch_size - 1)
+                         // self.batch_size)
+            if self.drop_last:
+                gs = gs[:n_batches * self.batch_size]
+            real_n += sum(g.num_nodes for g in gs)
+            real_e += sum(g.num_edges for g in gs)
+            pad_n += n_batches * n_pad
+            pad_e += n_batches * e_pad
+        return {"node_slot_efficiency": real_n / max(pad_n, 1),
+                "edge_slot_efficiency": real_e / max(pad_e, 1),
+                "n_buckets": len(self.buckets),
+                "geometry": list(self.geometry)}
+
+    def __iter__(self):
+        plan = []  # (bucket_id, index array into that bucket)
+        for b, gs in enumerate(self.buckets):
+            idx = np.arange(len(gs))
+            if self.shuffle:
+                self.rng.shuffle(idx)
+            bs = self.batch_size
+            for i in range(0, len(idx), bs):
+                chunk = idx[i:i + bs]
+                if self.drop_last and len(chunk) < bs:
+                    break
+                plan.append((b, chunk))
+        if self.shuffle:
+            self.rng.shuffle(plan)
+        for b, chunk in plan:
+            gs = self.buckets[b]
+            n_pad, e_pad = self.geometry[b]
+            yield pack_graphs([gs[int(j)] for j in chunk],
+                              n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
+                              kernel_layout=self.layout == "pallas",
+                              mxu_layout=self.layout == "mxu")
+
+
 class BatchLoader:
     def __init__(self, graphs: Sequence[GraphData], batch_size: int,
                  shuffle: bool = False, seed: int = 0,

@@ -144,11 +144,18 @@ def prepare(cfg, n_devices: int = 1, partition: str = "dp"):
         n_pad, e_pad = pad_geometry(all_graphs, bs, layout)
         trainer = Trainer(model, loss_fn, cfg.params, task=task)
         for split, gs in ds.splits.items():
-            loaders[split] = BatchLoader(gs, batch_size=bs,
-                                         shuffle=(split == "train"),
-                                         seed=cfg.params.seed,
-                                         n_pad=n_pad, e_pad=e_pad,
-                                         layout=layout)
+            if cfg.data.n_buckets > 1:
+                from .data.loader import BucketedLoader
+                loaders[split] = BucketedLoader(
+                    gs, batch_size=bs, n_buckets=cfg.data.n_buckets,
+                    shuffle=(split == "train"), seed=cfg.params.seed,
+                    layout=layout)
+            else:
+                loaders[split] = BatchLoader(gs, batch_size=bs,
+                                             shuffle=(split == "train"),
+                                             seed=cfg.params.seed,
+                                             n_pad=n_pad, e_pad=e_pad,
+                                             layout=layout)
         example = pack_graphs(ds.train[:min(bs, len(ds.train))],
                               n_pad=n_pad, e_pad=e_pad,
                               g_pad=loaders["train"].g_pad,

@@ -1,0 +1,77 @@
+"""BucketedLoader: K tight bucket shapes vs BatchLoader's one worst-case shape.
+
+Checks the padding-vs-recompilation tradeoff machinery (SURVEY §7 hard part 6):
+coverage (every graph packed exactly once per epoch), strictly better slot
+efficiency on size-skewed data, and exact eval-metric equivalence with the
+single-bucket loader (metrics are accumulated from per-graph scores, so batch
+composition must not matter).
+"""
+import numpy as np
+
+from dgn_tpu.data import BatchLoader, synthetic
+from dgn_tpu.data.loader import BucketedLoader
+from dgn_tpu.models import DGNConfig, zinc_model
+from dgn_tpu.ops.scalers import degree_stats
+from dgn_tpu.train.trainer import TrainParams, Trainer
+
+
+def _skewed_graphs(n=96, seed=11):
+    """Half tiny (9-12 nodes), half large (30-37): worst case for one bucket."""
+    small = [g for g in synthetic.synthetic_zinc(n * 6, seed=seed)
+             if g.num_nodes <= 12][: n // 2]
+    large = [g for g in synthetic.synthetic_zinc(n * 4, seed=seed + 1)
+             if g.num_nodes >= 30][: n // 2]
+    assert len(small) == n // 2 and len(large) == n // 2
+    return small + large
+
+
+def test_bucketed_covers_each_graph_once_and_packs():
+    graphs = _skewed_graphs(64)
+    loader = BucketedLoader(graphs, batch_size=16, n_buckets=4,
+                            shuffle=True, seed=3)
+    seen_nodes = 0
+    n_batches = 0
+    for gb in loader:  # pack_graphs raises on overflow — iteration IS the check
+        seen_nodes += int(np.asarray(gb.node_mask).sum())
+        n_batches += 1
+    assert seen_nodes == sum(g.num_nodes for g in graphs)
+    assert n_batches == len(loader)
+
+
+def test_bucketed_padding_beats_single_bucket_on_skewed_sizes():
+    graphs = _skewed_graphs(256)  # 4 buckets x 2 full batches of 32
+    single = BatchLoader(graphs, batch_size=32)
+    multi = BucketedLoader(graphs, batch_size=32, n_buckets=4)
+    stats = multi.padding_stats()
+    # single bucket: every batch padded to sum of 16 LARGEST graphs
+    single_eff = (sum(g.num_nodes for g in graphs)
+                  / (len(single) * single.n_pad))
+    assert stats["node_slot_efficiency"] > single_eff * 1.3, (
+        stats, single_eff)
+    assert len(stats["geometry"]) >= 2  # actually produced distinct shapes
+
+
+def test_bucketed_eval_metrics_match_single_bucket():
+    graphs = _skewed_graphs(64, seed=5)
+    degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
+                           for g in graphs])
+    cfg = DGNConfig(hidden_dim=8, out_dim=8, L=1, avg_d=degree_stats(degs),
+                    aggregators="mean dir1-dx", scalers="identity")
+    model, loss_fn = zinc_model(cfg)
+    trainer = Trainer(model, loss_fn, TrainParams(seed=41), task="zinc")
+    single = BatchLoader(graphs, batch_size=16)
+    state = trainer.init_state(next(iter(single)))
+    m1 = trainer.evaluate(state, single)
+    m2 = trainer.evaluate(state, BucketedLoader(graphs, batch_size=16,
+                                                n_buckets=4))
+    # MAE is over per-graph scores -> exact regardless of batch composition
+    assert abs(m1["mae"] - m2["mae"]) < 1e-5, (m1, m2)
+
+
+def test_bucketed_mxu_layout():
+    graphs = _skewed_graphs(64, seed=9)
+    loader = BucketedLoader(graphs, batch_size=16, n_buckets=2, layout="mxu")
+    gb = next(iter(loader))
+    assert gb.mxu is not None
+    total = sum(int(np.asarray(b.node_mask).sum()) for b in loader)
+    assert total == sum(g.num_nodes for g in graphs)

@@ -47,6 +47,12 @@ class DataParams:
     # bucket geometries / K compilations instead of 1 worst-case shape.
     # Single-device runs only; DP/EP keep one shape per shard.
     n_buckets: int = 1
+    # pad-shape sizing for shuffled single-device loaders (data/loader.py):
+    #   typical — sized for typical batches; a rare oversized batch repacks
+    #             at the worst-case shape (identical results, one extra
+    #             compile).  ~2x fewer padded edge slots on ZINC-shaped data.
+    #   worst   — any-subset bound; every batch fits by construction.
+    geometry: str = "typical"
 
 
 @dataclasses.dataclass
@@ -208,6 +214,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="execution layout (DataParams.layout)")
     ap.add_argument("--compute_dtype", type=str, default=None,
                     help="matmul input dtype for MXU block ops, e.g. bfloat16")
+    ap.add_argument("--geometry", type=str, default=None,
+                    choices=["typical", "worst"],
+                    help="pad-shape sizing for shuffled loaders "
+                         "(DataParams.geometry)")
     ap.add_argument("--n_buckets", type=int, default=None,
                     help=">1: size-bucketed batching — K tight bucket shapes "
                          "(K compilations) instead of 1 worst-case shape")

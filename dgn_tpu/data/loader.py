@@ -12,7 +12,27 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..graph import (GraphBatch, GraphData, bucket_sizes_for,
-                     mxu_bucket_sizes, pack_graphs, round_up)
+                     mxu_bucket_sizes, pack_graphs, pack_requirements,
+                     round_up, typical_bucket_sizes)
+
+
+def _worst_geometry(graphs, batch_size: int, layout: str):
+    if layout == "mxu":
+        n_pad, e_pad, _ = mxu_bucket_sizes(graphs, batch_size)
+        return n_pad, e_pad
+    return bucket_sizes_for(graphs, batch_size)
+
+
+def _exact_geometry(graphs, batch_size: int, layout: str):
+    """Max requirement over the FIXED (unshuffled) batch partition — exact
+    for shuffle=False loaders, where every epoch draws the same chunks."""
+    need_n = need_e = 1
+    for i in range(0, len(graphs), batch_size):
+        n_used, e_used = pack_requirements(graphs[i:i + batch_size],
+                                           mxu_layout=layout == "mxu")
+        need_n = max(need_n, n_used)
+        need_e = max(need_e, e_used)
+    return round_up(need_n + 1, 128), round_up(need_e, 128)
 
 
 class BucketedLoader:
@@ -123,9 +143,23 @@ class BatchLoader:
                  shuffle: bool = False, seed: int = 0,
                  n_pad: Optional[int] = None, e_pad: Optional[int] = None,
                  drop_last: bool = False, packer=None,
-                 kernel_layout: bool = False, layout: Optional[str] = None):
+                 kernel_layout: bool = False, layout: Optional[str] = None,
+                 geometry: str = "worst"):
         """layout: 'flat' (default) | 'pallas' | 'mxu' — see graph.pack_graphs.
-        kernel_layout=True is the legacy spelling of layout='pallas'."""
+        kernel_layout=True is the legacy spelling of layout='pallas'.
+
+        geometry (used only when n_pad/e_pad are not given explicitly):
+          'worst'   — any-subset bound (sum of the batch_size largest graphs);
+                      every batch fits by construction.
+          'typical' — sized for typical shuffled batches
+                      (graph.typical_bucket_sizes); a rare oversized batch is
+                      repacked at the worst-case shape (one extra compile) —
+                      results are identical either way, padded slots carry no
+                      data.  On ZINC-shaped data this halves edge slots, and
+                      under the MXU layout padded edge slots cost real
+                      matmul compute.
+          Unshuffled loaders always take the EXACT max over their fixed
+          batch partition (tighter than both, zero overflow risk)."""
         self.graphs = list(graphs)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -134,16 +168,24 @@ class BatchLoader:
             layout = "pallas" if kernel_layout else "flat"
         if layout not in ("flat", "pallas", "mxu"):
             raise ValueError(f"unknown layout {layout!r}")
+        if geometry not in ("worst", "typical"):
+            raise ValueError(f"unknown geometry {geometry!r}")
         self.layout = layout
         self.g_pad = (round_up(batch_size, 128) if layout == "mxu"
                       else batch_size)
+        self._escape_shape = None   # worst-case fallback, built lazily
+        self.n_escapes = 0
         if n_pad is None or e_pad is None:
-            if layout == "mxu":
-                n_pad_auto, e_pad_auto, _ = mxu_bucket_sizes(
-                    self.graphs, batch_size)
+            if not shuffle:
+                n_pad_auto, e_pad_auto = _exact_geometry(
+                    self.graphs, batch_size, layout)
+            elif geometry == "typical":
+                n_pad_auto, e_pad_auto = typical_bucket_sizes(
+                    self.graphs, batch_size, mxu_layout=layout == "mxu",
+                    seed=seed)
             else:
-                n_pad_auto, e_pad_auto = bucket_sizes_for(self.graphs,
-                                                          batch_size)
+                n_pad_auto, e_pad_auto = _worst_geometry(
+                    self.graphs, batch_size, layout)
             n_pad = n_pad if n_pad is not None else n_pad_auto
             e_pad = e_pad if e_pad is not None else e_pad_auto
         self.n_pad, self.e_pad = n_pad, e_pad
@@ -167,7 +209,19 @@ class BatchLoader:
             if self.drop_last and len(chunk) < bs:
                 return
             batch = [self.graphs[j] for j in chunk]
-            yield pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
-                              g_pad=self.g_pad,
-                              kernel_layout=self.kernel_layout,
-                              mxu_layout=self.layout == "mxu")
+            try:
+                yield pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
+                                  g_pad=self.g_pad,
+                                  kernel_layout=self.kernel_layout,
+                                  mxu_layout=self.layout == "mxu")
+            except ValueError:
+                # typical-geometry escape: repack at the worst-case shape
+                if self._escape_shape is None:
+                    self._escape_shape = _worst_geometry(
+                        self.graphs, self.batch_size, self.layout)
+                self.n_escapes += 1
+                n_pad, e_pad = self._escape_shape
+                yield pack_graphs(batch, n_pad=n_pad, e_pad=e_pad,
+                                  g_pad=self.g_pad,
+                                  kernel_layout=self.kernel_layout,
+                                  mxu_layout=self.layout == "mxu")

@@ -698,3 +698,67 @@ def bucket_sizes_for(
     cn = int(ns[:batch_size].sum())
     ce = int(max(es[:batch_size].sum(), 1))
     return (round_up(cn + 1, node_multiple), round_up(ce, edge_multiple))
+
+
+def pack_requirements(batch: Sequence[GraphData],
+                      mxu_layout: bool = False) -> tuple[int, int]:
+    """EXACT (n_used, e_used) slots pack_graphs needs for this batch.
+
+    flat/pallas: total nodes (+1 ghost) and total edges.
+    mxu: simulate block placement (_mxu_place) and per-(src_block, dst_block)
+    run padding (_mxu_edge_arrange) — cheap host numpy, no arrays retained.
+    """
+    if not mxu_layout:
+        tot_n = sum(g.num_nodes for g in batch)
+        tot_e = max(sum(g.num_edges for g in batch), 1)
+        return tot_n + 1, tot_e
+    sizes = [g.num_nodes for g in batch]
+    offsets, n_used = _mxu_place(sizes)
+    src = np.concatenate([np.asarray(g.src, np.int64) + offsets[i]
+                          for i, g in enumerate(batch)]).astype(np.int32) \
+        if batch else np.zeros(0, np.int32)
+    dst = np.concatenate([np.asarray(g.dst, np.int64) + offsets[i]
+                          for i, g in enumerate(batch)]).astype(np.int32) \
+        if batch else np.zeros(0, np.int32)
+    _, src_p, _, _ = _mxu_edge_arrange(src, dst)
+    return n_used, max(len(src_p), _TILE)
+
+
+def typical_bucket_sizes(
+    graphs: Sequence[GraphData],
+    batch_size: int,
+    *,
+    mxu_layout: bool = False,
+    probe_epochs: int = 4,
+    slack: float = 1.10,
+    seed: int = 0,
+    multiple: int = 128,
+) -> tuple[int, int]:
+    """(n_pad, e_pad) sized for TYPICAL shuffled batches, not the worst case.
+
+    The any-subset bound (bucket_sizes_for / mxu_bucket_sizes) is the sum of
+    the batch_size LARGEST graphs — on ZINC-shaped data that leaves ~60% of
+    edge slots permanently padded, and padded slots cost real MXU compute
+    under the block layout.  This instead simulates `probe_epochs` shuffled
+    epochs, takes the max exact requirement seen, and adds `slack`.  A batch
+    that still overflows makes pack_graphs raise — callers (data/loader.py)
+    catch that and repack at the worst-case geometry (one extra compiled
+    shape, rare by construction), so tightness can never corrupt results.
+    """
+    rng = np.random.default_rng(seed)
+    idx = np.arange(len(graphs))
+    need_n = need_e = 1
+    for _ in range(probe_epochs):
+        rng.shuffle(idx)
+        for i in range(0, len(idx), batch_size):
+            chunk = [graphs[j] for j in idx[i:i + batch_size]]
+            n_used, e_used = pack_requirements(chunk, mxu_layout=mxu_layout)
+            need_n = max(need_n, n_used)
+            need_e = max(need_e, e_used)
+    n_pad = round_up(int(need_n * slack) + 1, multiple)
+    e_pad = round_up(int(need_e * slack), multiple)
+    if mxu_layout:
+        worst = mxu_bucket_sizes(graphs, batch_size)
+        return min(n_pad, worst[0]), min(e_pad, worst[1])
+    worst = bucket_sizes_for(graphs, batch_size)
+    return min(n_pad, worst[0]), min(e_pad, worst[1])

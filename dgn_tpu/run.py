@@ -141,7 +141,6 @@ def prepare(cfg, n_devices: int = 1, partition: str = "dp"):
                               g_pad=loaders["train"].g_pad,
                               mxu_layout=layout == "mxu")
     else:
-        n_pad, e_pad = pad_geometry(all_graphs, bs, layout)
         trainer = Trainer(model, loss_fn, cfg.params, task=task)
         for split, gs in ds.splits.items():
             if cfg.data.n_buckets > 1:
@@ -151,13 +150,16 @@ def prepare(cfg, n_devices: int = 1, partition: str = "dp"):
                     shuffle=(split == "train"), seed=cfg.params.seed,
                     layout=layout)
             else:
+                # shuffled train: typical/worst per cfg; unshuffled val/test:
+                # exact geometry over their fixed batch partition (loader.py)
                 loaders[split] = BatchLoader(gs, batch_size=bs,
                                              shuffle=(split == "train"),
                                              seed=cfg.params.seed,
-                                             n_pad=n_pad, e_pad=e_pad,
-                                             layout=layout)
+                                             layout=layout,
+                                             geometry=cfg.data.geometry)
+        # example batch only seeds init/param-count; auto (exact) pads are
+        # always safe, and param shapes don't depend on batch geometry
         example = pack_graphs(ds.train[:min(bs, len(ds.train))],
-                              n_pad=n_pad, e_pad=e_pad,
                               g_pad=loaders["train"].g_pad,
                               mxu_layout=layout == "mxu")
     return ds, model, loss_fn, trainer, loaders, example

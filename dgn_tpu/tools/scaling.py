@@ -164,7 +164,15 @@ def main(argv=None):
     ap.add_argument("--hidden", type=int, default=45)
     ap.add_argument("--L", type=int, default=4)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--backend", default=None,
+                    help="force a jax platform (e.g. 'cpu' for the virtual "
+                         "mesh) — needed because the axon TPU plugin pins "
+                         "jax_platforms via jax.config, which beats the "
+                         "JAX_PLATFORMS env var")
     a = ap.parse_args(argv)
+    if a.backend:
+        import jax
+        jax.config.update("jax_platforms", a.backend)
     run_scaling(tuple(a.partition.split(",")),
                 tuple(int(x) for x in a.devices.split(",")),
                 a.batch, a.hidden, a.L, a.steps)

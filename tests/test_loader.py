@@ -75,3 +75,42 @@ def test_bucketed_mxu_layout():
     assert gb.mxu is not None
     total = sum(int(np.asarray(b.node_mask).sum()) for b in loader)
     assert total == sum(g.num_nodes for g in graphs)
+
+
+def test_exact_geometry_for_unshuffled_loader():
+    graphs = _skewed_graphs(64, seed=21)
+    worst = BatchLoader(graphs, batch_size=16, shuffle=True,
+                        geometry="worst")
+    exact = BatchLoader(graphs, batch_size=16, shuffle=False)
+    # unshuffled loader sizes to its fixed partition -> never larger
+    assert exact.n_pad <= worst.n_pad and exact.e_pad <= worst.e_pad
+    total = sum(int(np.asarray(b.node_mask).sum()) for b in exact)
+    assert total == sum(g.num_nodes for g in graphs)
+
+
+def test_typical_geometry_tighter_and_escape_repacks():
+    graphs = _skewed_graphs(128, seed=23)
+    typ = BatchLoader(graphs, batch_size=16, shuffle=True, seed=7,
+                      geometry="typical")
+    worst = BatchLoader(graphs, batch_size=16, shuffle=True, seed=7,
+                        geometry="worst")
+    assert typ.e_pad <= worst.e_pad
+    # force the escape path: shrink the pads below what batches need
+    tight = BatchLoader(graphs, batch_size=16, shuffle=True, seed=7,
+                        n_pad=128, e_pad=128)
+    tight.n_escapes = 0
+    batches = list(tight)
+    assert tight.n_escapes > 0                       # escape actually fired
+    total = sum(int(np.asarray(b.node_mask).sum()) for b in batches)
+    assert total == sum(g.num_nodes for g in graphs)  # nothing dropped
+    # escaped batches land on the worst-case shape
+    assert tight._escape_shape is not None
+
+
+def test_typical_geometry_mxu_layout_iterates():
+    graphs = _skewed_graphs(96, seed=25)
+    loader = BatchLoader(graphs, batch_size=32, shuffle=True, seed=1,
+                         layout="mxu", geometry="typical")
+    for _ in range(2):   # two shuffled epochs, escape hatch covers outliers
+        total = sum(int(np.asarray(b.node_mask).sum()) for b in loader)
+        assert total == sum(g.num_nodes for g in graphs)

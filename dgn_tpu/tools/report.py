@@ -36,7 +36,8 @@ def metric_key(rows: List[dict], key: Optional[str]) -> str:
 
 
 def maximize_metric(key: str) -> bool:
-    return key in ("roc_auc", "ap", "acc", "hits@50")
+    return (key in ("roc_auc", "rocauc", "ap", "acc", "f1")
+            or key.startswith("hits@"))
 
 
 def summarize(rows: List[dict], key: Optional[str] = None,

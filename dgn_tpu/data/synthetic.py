@@ -67,27 +67,45 @@ def synthetic_sbm(num_graphs: int, seed: int = 0, n_classes: int = 2,
                   nodes: int = 80, p_in: float = 0.2, p_out: float = 0.05,
                   k_eig: int = 5, norm: str = "none",
                   n_node_types: int = 3) -> List[GraphData]:
-    """PATTERN-like SBM node classification: blocks with int node features."""
+    """PATTERN-like SBM node classification: background blocks + planted
+    denser pattern subgraphs; node label = which pattern the node belongs to
+    (0 = background).
+
+    The reference PATTERN task labels nodes of a planted subgraph whose
+    connection statistics differ from the background (SBMs.py data), which is
+    detectable from structure.  Labeling nodes by arbitrary community id
+    instead is UNLEARNABLE by symmetry — every community is statistically
+    identical, so any model sits at chance — hence the planted-pattern form
+    here.  Node int features are uninformative (as in PATTERN); the signal
+    is purely structural."""
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(num_graphs):
         n = int(rng.integers(nodes - 20, nodes + 20))
-        comm = rng.integers(0, n_classes, size=(n,)).astype(np.int32)
-        srcs, dsts = [], []
-        for u in range(n):
-            for v in range(u + 1, n):
-                p = p_in if comm[u] == comm[v] else p_out
-                if rng.random() < p:
-                    srcs += [u, v]
-                    dsts += [v, u]
-        if not srcs:
-            srcs, dsts = [0, 1], [1, 0]
-        src = np.array(srcs, np.int32)
-        dst = np.array(dsts, np.int32)
+        comm = rng.integers(0, 3, size=(n,))          # background blocks
+        label = np.zeros(n, np.int32)
+        psize = max(int(0.15 * n), 5)
+        perm = rng.permutation(n)
+        for c in range(1, n_classes):
+            label[perm[(c - 1) * psize: c * psize]] = c
+        # edge probability matrix: background SBM, patterns much denser
+        same_bg = comm[:, None] == comm[None, :]
+        prob = np.where(same_bg, p_in, p_out)
+        for c in range(1, n_classes):
+            in_pat = label == c
+            pp = min(3.0 * p_in + 0.1 * (c - 1), 0.9)
+            prob = np.where(in_pat[:, None] & in_pat[None, :], pp, prob)
+        draw = rng.random((n, n))
+        upper = np.triu(draw < prob, k=1)
+        us, vs = np.nonzero(upper)
+        if len(us) == 0:
+            us, vs = np.array([0]), np.array([1 % n])
+        src = np.concatenate([us, vs]).astype(np.int32)
+        dst = np.concatenate([vs, us]).astype(np.int32)
         feat = rng.integers(0, n_node_types, size=(n,)).astype(np.int32)
         eig = spectral.graph_eig(n, src, dst, k_eig, norm)
         out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=feat,
-                             eig=eig, node_labels=comm,
+                             eig=eig, node_labels=label,
                              label=np.array([0.0], np.float32)))
     return out
 

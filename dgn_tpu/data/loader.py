@@ -35,6 +35,27 @@ def _exact_geometry(graphs, batch_size: int, layout: str):
     return round_up(need_n + 1, 128), round_up(need_e, 128)
 
 
+def _order_for_layout(batch, layout: str):
+    """mxu: descending num_nodes — block placement is order-sensitive
+    (next-fit), and every geometry estimate simulates descending order.
+    Within-batch graph order is the loader's to choose; metrics accumulate
+    per-graph scores, so composition order never matters."""
+    if layout == "mxu":
+        return sorted(batch, key=lambda g: -g.num_nodes)
+    return batch
+
+
+def _escape_pack(batch, layout: str, g_pad: int, base_n: int, base_e: int):
+    """Repack an oversized batch at its EXACT requirement (never fails),
+    rounded coarsely so repeated escapes reuse a handful of shapes."""
+    n_req, e_req = pack_requirements(batch, mxu_layout=layout == "mxu")
+    n_pad = round_up(max(n_req + 1, base_n), 512)
+    e_pad = round_up(max(e_req, base_e), 512)
+    return pack_graphs(batch, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                       kernel_layout=layout == "pallas",
+                       mxu_layout=layout == "mxu")
+
+
 class BucketedLoader:
     """Size-bucketed batching: K compiled shapes instead of 1 worst-case shape.
 
@@ -69,6 +90,7 @@ class BucketedLoader:
         self.drop_last = drop_last
         self.layout = layout
         self.packer = packer
+        self.n_escapes = 0
         self.g_pad = (round_up(batch_size, 128) if layout == "mxu"
                       else batch_size)
         graphs = list(graphs)
@@ -132,10 +154,17 @@ class BucketedLoader:
         for b, chunk in plan:
             gs = self.buckets[b]
             n_pad, e_pad = self.geometry[b]
-            yield pack_graphs([gs[int(j)] for j in chunk],
-                              n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
-                              kernel_layout=self.layout == "pallas",
-                              mxu_layout=self.layout == "mxu")
+            batch = _order_for_layout([gs[int(j)] for j in chunk],
+                                      self.layout)
+            try:
+                yield pack_graphs(batch,
+                                  n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
+                                  kernel_layout=self.layout == "pallas",
+                                  mxu_layout=self.layout == "mxu")
+            except ValueError:
+                self.n_escapes += 1
+                yield _escape_pack(batch, self.layout, self.g_pad,
+                                   n_pad, e_pad)
 
 
 class BatchLoader:
@@ -173,7 +202,6 @@ class BatchLoader:
         self.layout = layout
         self.g_pad = (round_up(batch_size, 128) if layout == "mxu"
                       else batch_size)
-        self._escape_shape = None   # worst-case fallback, built lazily
         self.n_escapes = 0
         if n_pad is None or e_pad is None:
             if not shuffle:
@@ -208,20 +236,17 @@ class BatchLoader:
             chunk = idx[i:i + bs]
             if self.drop_last and len(chunk) < bs:
                 return
-            batch = [self.graphs[j] for j in chunk]
+            batch = _order_for_layout([self.graphs[j] for j in chunk],
+                                      self.layout)
             try:
                 yield pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
                                   g_pad=self.g_pad,
                                   kernel_layout=self.kernel_layout,
                                   mxu_layout=self.layout == "mxu")
             except ValueError:
-                # typical-geometry escape: repack at the worst-case shape
-                if self._escape_shape is None:
-                    self._escape_shape = _worst_geometry(
-                        self.graphs, self.batch_size, self.layout)
+                # tight-geometry escape: repack at the batch's exact need
+                # (the 'worst-case' estimate is NOT a true bound under the
+                # mxu layout — block placement is order-sensitive)
                 self.n_escapes += 1
-                n_pad, e_pad = self._escape_shape
-                yield pack_graphs(batch, n_pad=n_pad, e_pad=e_pad,
-                                  g_pad=self.g_pad,
-                                  kernel_layout=self.kernel_layout,
-                                  mxu_layout=self.layout == "mxu")
+                yield _escape_pack(batch, self.layout, self.g_pad,
+                                   self.n_pad, self.e_pad)

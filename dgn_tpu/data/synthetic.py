@@ -136,10 +136,20 @@ def synthetic_superpixels(num_graphs: int, seed: int = 0, n_classes: int = 10,
             eig = np.concatenate([np.zeros((n, 1), np.float32), xy], axis=1)
         else:
             eig = spectral.graph_eig(n, src, dst, k_eig, "sym")
-        label = int((xy.mean() * 7919 + n) % n_classes)
         out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=feat,
                              eig=eig, edge_feat=w[:, None],
-                             label=np.array(label, np.int32)))
+                             label=np.array(0, np.int32)))
+    # class = quantile bin of a SMOOTH feature/structure score (mean coords +
+    # mean gaussian edge weight).  A hash-style label (mod of a large
+    # multiple) is pseudo-random w.r.t. anything a GNN can compute, i.e.
+    # unlearnable; quantile binning keeps classes balanced AND learnable.
+    scores = np.array([g.node_feat[:, -2].mean()
+                       + 0.5 * g.node_feat[:, -1].mean()
+                       + 0.3 * float(np.mean(g.edge_feat))
+                       for g in out])
+    edges = np.quantile(scores, np.linspace(0, 1, n_classes + 1)[1:-1])
+    for g, s in zip(out, scores):
+        g.label[...] = int(np.searchsorted(edges, s))
     return out
 
 

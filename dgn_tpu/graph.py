@@ -707,11 +707,15 @@ def pack_requirements(batch: Sequence[GraphData],
     flat/pallas: total nodes (+1 ghost) and total edges.
     mxu: simulate block placement (_mxu_place) and per-(src_block, dst_block)
     run padding (_mxu_edge_arrange) — cheap host numpy, no arrays retained.
+    Assumes the batch is packed in DESCENDING num_nodes order (what the
+    loaders do under the mxu layout): block placement is order-sensitive,
+    and descending next-fit is the order all geometry estimates simulate.
     """
     if not mxu_layout:
         tot_n = sum(g.num_nodes for g in batch)
         tot_e = max(sum(g.num_edges for g in batch), 1)
         return tot_n + 1, tot_e
+    batch = sorted(batch, key=lambda g: -g.num_nodes)
     sizes = [g.num_nodes for g in batch]
     offsets, n_used = _mxu_place(sizes)
     src = np.concatenate([np.asarray(g.src, np.int64) + offsets[i]

@@ -75,8 +75,10 @@ def degree_stats(degrees) -> Dict[str, float]:
     """
     import numpy as np
     d = np.asarray(degrees, dtype=np.float64)
+    with np.errstate(over="ignore"):   # d=0 -> inf, same as the torch formula
+        exp = float(np.mean(np.exp(1.0 / np.maximum(d, 1e-30)) - 1.0))
     return {
         "lin": float(np.mean(d)),
-        "exp": float(np.mean(np.exp(1.0 / np.maximum(d, 1e-30)) - 1.0)),
+        "exp": exp,
         "log": float(np.mean(np.log(d + 1.0))),
     }

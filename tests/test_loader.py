@@ -103,8 +103,9 @@ def test_typical_geometry_tighter_and_escape_repacks():
     assert tight.n_escapes > 0                       # escape actually fired
     total = sum(int(np.asarray(b.node_mask).sum()) for b in batches)
     assert total == sum(g.num_nodes for g in graphs)  # nothing dropped
-    # escaped batches land on the worst-case shape
-    assert tight._escape_shape is not None
+    # escaped batches land on exact-requirement shapes, coarsely rounded
+    shapes = {(b.num_nodes_padded, b.num_edges_padded) for b in batches}
+    assert any(n > 128 or e > 128 for n, e in shapes)
 
 
 def test_typical_geometry_mxu_layout_iterates():
@@ -114,3 +115,19 @@ def test_typical_geometry_mxu_layout_iterates():
     for _ in range(2):   # two shuffled epochs, escape hatch covers outliers
         total = sum(int(np.asarray(b.node_mask).sum()) for b in loader)
         assert total == sum(g.num_nodes for g in graphs)
+
+
+def test_mxu_order_sensitive_overflow_is_escaped():
+    """Regression: block placement is order-sensitive (next-fit), so the
+    'worst-case' descending-order bound is NOT a true bound for shuffled
+    SBM-sized batches (~60-100 nodes, ~1-2 graphs per 128-block).  The
+    loader must sort mxu batches descending AND escape any residual
+    overflow instead of raising mid-epoch."""
+    from dgn_tpu.data import synthetic
+    graphs = synthetic.synthetic_sbm(96, seed=3, n_classes=2, nodes=80)
+    loader = BatchLoader(graphs, batch_size=32, shuffle=True, seed=11,
+                         layout="mxu", geometry="typical")
+    want = sum(g.num_nodes for g in graphs)
+    for _ in range(6):   # many shuffled epochs: no ValueError, full coverage
+        total = sum(int(np.asarray(b.node_mask).sum()) for b in loader)
+        assert total == want

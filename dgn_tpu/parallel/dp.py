@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..graph import (GraphBatch, GraphData, bucket_sizes_for,
-                     mxu_bucket_sizes, pack_graphs, round_up)
+                     mxu_bucket_sizes, pack_graphs, pack_requirements,
+                     round_up)
 from ..train.trainer import TrainState, Trainer, TrainParams, _augment
 
 
@@ -57,6 +58,7 @@ class StackedLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.layout = layout
+        self.n_escapes = 0
         self.g_pad = (round_up(per_device_batch, 128) if layout == "mxu"
                       else per_device_batch)
         if n_pad is None or e_pad is None:
@@ -72,6 +74,17 @@ class StackedLoader:
         sz = self.bs * self.d
         return (len(self.graphs) + sz - 1) // sz
 
+    def _pack_shard(self, gs, ghost: bool, n_pad: int, e_pad: int):
+        gb = pack_graphs(gs, n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
+                         mxu_layout=self.layout == "mxu")
+        if ghost:
+            gb = dataclasses.replace(
+                gb,
+                node_mask=jnp.zeros_like(gb.node_mask),
+                edge_mask=jnp.zeros_like(gb.edge_mask),
+                graph_mask=jnp.zeros_like(gb.graph_mask))
+        return gb
+
     def __iter__(self):
         idx = np.arange(len(self.graphs))
         if self.shuffle:
@@ -79,25 +92,34 @@ class StackedLoader:
         super_bs = self.bs * self.d
         for i in range(0, len(idx), super_bs):
             chunk = idx[i:i + super_bs]
-            shards = []
+            shard_graphs = []
             for d in range(self.d):
                 sel = chunk[d::self.d][:self.bs]
                 gs = [self.graphs[j] for j in sel]
-                if not gs:          # keep shard count fixed: ghost shard
+                ghost = not gs      # keep shard count fixed: ghost shard
+                if ghost:
                     gs = [self.graphs[chunk[0]]]
-                    gb = pack_graphs(gs, n_pad=self.n_pad, e_pad=self.e_pad,
-                                     g_pad=self.g_pad,
-                                     mxu_layout=self.layout == "mxu")
-                    gb = dataclasses.replace(
-                        gb,
-                        node_mask=jnp.zeros_like(gb.node_mask),
-                        edge_mask=jnp.zeros_like(gb.edge_mask),
-                        graph_mask=jnp.zeros_like(gb.graph_mask))
-                else:
-                    gb = pack_graphs(gs, n_pad=self.n_pad, e_pad=self.e_pad,
-                                     g_pad=self.g_pad,
-                                     mxu_layout=self.layout == "mxu")
-                shards.append(gb)
+                if self.layout == "mxu":
+                    # block placement is next-fit: descending order matches
+                    # the geometry estimates' simulated order (graph.py)
+                    gs = sorted(gs, key=lambda g: -g.num_nodes)
+                shard_graphs.append((gs, ghost))
+            try:
+                shards = [self._pack_shard(gs, gh, self.n_pad, self.e_pad)
+                          for gs, gh in shard_graphs]
+            except ValueError:
+                # an oversized shard: ALL shards repack at one escape shape
+                # (stacking requires one common geometry per super-batch)
+                self.n_escapes += 1
+                reqs = [pack_requirements(gs,
+                                          mxu_layout=self.layout == "mxu")
+                        for gs, _ in shard_graphs]
+                n_pad = round_up(max(max(r[0] for r in reqs) + 1,
+                                     self.n_pad), 512)
+                e_pad = round_up(max(max(r[1] for r in reqs),
+                                     self.e_pad), 512)
+                shards = [self._pack_shard(gs, gh, n_pad, e_pad)
+                          for gs, gh in shard_graphs]
             out = stack_batches(shards)
             if self.mesh is not None:
                 out = shard_stacked(out, self.mesh)

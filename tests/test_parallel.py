@@ -115,3 +115,26 @@ def test_scaling_harness_runs():
     for r in rows.values():
         assert r["step_ms"] > 0
         assert 0 < r["efficiency"] <= 1.5
+
+
+def test_stacked_loader_mxu_escape_covers_oversized_shards():
+    """SBM-sized graphs under the mxu layout: a shuffled shard can exceed the
+    descending-order 'worst case' bound (next-fit placement is order-
+    sensitive); the loader must repack the whole super-batch at one common
+    escape shape rather than raise or desync shard geometries."""
+    from dgn_tpu.data import synthetic
+    from dgn_tpu.parallel.dp import StackedLoader
+
+    graphs = synthetic.synthetic_sbm(64, seed=3, n_classes=2, nodes=80)
+    loader = StackedLoader(graphs, per_device_batch=8, n_shards=4,
+                           shuffle=True, seed=11, layout="mxu",
+                           n_pad=256, e_pad=512)   # deliberately too small
+    want = sum(g.num_nodes for g in graphs)
+    for _ in range(2):
+        total = 0
+        for gb in loader:
+            m = np.asarray(gb.node_mask)
+            assert m.ndim == 2  # [D, n_pad], one common geometry per batch
+            total += int(m.sum())
+        assert total == want
+    assert loader.n_escapes > 0

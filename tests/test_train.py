@@ -119,26 +119,29 @@ def test_sbm_planted_pattern_is_learnable():
     assert m["acc"] > 62.0, m   # well above the ~50% symmetry ceiling
 
 
-def test_superpixels_labels_learnable_and_balanced():
-    """Class = quantile-binned smooth score (guards against hash-style
-    labels, which are pseudo-random w.r.t. anything a GNN can compute)."""
+def test_superpixels_labels_learnable_and_generalize():
+    """Class signal is injected at generation (cluster count/spread shape the
+    kNN graph), so a model must generalize to a HELD-OUT split — guards
+    against hash-style labels (unlearnable) and post-hoc quantile bins
+    (fit train, barely beat chance on val)."""
     from dgn_tpu.models import MODEL_FACTORIES
 
-    graphs = synthetic.synthetic_superpixels(96, seed=1, n_classes=4)
-    labels = np.array([int(g.label) for g in graphs])
-    counts = np.bincount(labels, minlength=4)
-    assert counts.min() >= len(graphs) // 8, counts   # roughly balanced
+    train = synthetic.synthetic_superpixels(96, seed=1, n_classes=2)
+    val = synthetic.synthetic_superpixels(64, seed=2, n_classes=2)
+    labels = np.array([int(g.label) for g in train])
+    assert np.bincount(labels, minlength=2).min() >= 24  # roughly balanced
     degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
-                           for g in graphs])
+                           for g in train])
     cfg = DGNConfig(hidden_dim=20, out_dim=20, L=2, avg_d=degree_stats(degs),
                     aggregators="mean dir1-dx dir2-dx", scalers="identity")
-    model, loss_fn = MODEL_FACTORIES["superpixels"](cfg, 4)
+    model, loss_fn = MODEL_FACTORIES["superpixels"](cfg, 2)
     tr = Trainer(model, loss_fn,
                  TrainParams(seed=41, epochs=20, batch_size=32, init_lr=5e-3,
                              lr_schedule_patience=100,
                              print_epoch_interval=1000), task="superpixels")
-    loader = BatchLoader(graphs, 32, shuffle=True, seed=1)
+    loader = BatchLoader(train, 32, shuffle=True, seed=1)
     state = tr.init_state(next(iter(loader)))
     for ep in range(20):
         state, m = tr.train_epoch(state, loader, ep)
-    assert m["acc"] > 38.0, m     # chance = 25%; manual run reaches ~49
+    ev = tr.evaluate(state, BatchLoader(val, 32))
+    assert ev["acc"] > 70.0, (m, ev)   # held-out; chance = 50%

@@ -160,6 +160,9 @@ class Trainer:
             "edges_per_s": round(r["edges_per_s"], 1),
             "edge_padding_efficiency": round(r["edge_padding_efficiency"], 4),
         }
+        escapes = getattr(loader, "n_escapes", None)
+        if escapes:  # typical-geometry repacks this run (data/loader.py)
+            self._last_throughput["pack_escapes"] = escapes
         return state, acc.result()
 
     def evaluate(self, state: TrainState, loader):

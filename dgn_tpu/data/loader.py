@@ -76,12 +76,14 @@ class BucketedLoader:
         contain similar-size graphs, so per-batch BatchNorm statistics and
         snorm distributions shift).  The reference shuffles uniformly, so
         this stays opt-in (`--n_buckets`, default 1).
+      * `DataParams.geometry` does not apply here: every bucket always uses
+        its own per-bucket worst-case bound (already tight, since buckets
+        hold similar-size graphs).
     """
 
     def __init__(self, graphs: Sequence[GraphData], batch_size: int,
                  n_buckets: int = 4, shuffle: bool = False, seed: int = 0,
-                 drop_last: bool = False, layout: str = "flat",
-                 packer=None):
+                 drop_last: bool = False, layout: str = "flat"):
         if layout not in ("flat", "pallas", "mxu"):
             raise ValueError(f"unknown layout {layout!r}")
         self.batch_size = batch_size
@@ -89,7 +91,6 @@ class BucketedLoader:
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.layout = layout
-        self.packer = packer
         self.n_escapes = 0
         self.g_pad = (round_up(batch_size, 128) if layout == "mxu"
                       else batch_size)
@@ -171,7 +172,7 @@ class BatchLoader:
     def __init__(self, graphs: Sequence[GraphData], batch_size: int,
                  shuffle: bool = False, seed: int = 0,
                  n_pad: Optional[int] = None, e_pad: Optional[int] = None,
-                 drop_last: bool = False, packer=None,
+                 drop_last: bool = False,
                  kernel_layout: bool = False, layout: Optional[str] = None,
                  geometry: str = "worst"):
         """layout: 'flat' (default) | 'pallas' | 'mxu' — see graph.pack_graphs.
@@ -218,7 +219,8 @@ class BatchLoader:
             e_pad = e_pad if e_pad is not None else e_pad_auto
         self.n_pad, self.e_pad = n_pad, e_pad
         self.drop_last = drop_last
-        self.packer = packer  # optional native packer (runtime/)
+        # pack_graphs auto-routes through the native C++ packer (runtime/)
+        # when the library is built; no per-loader switch needed.
         self.kernel_layout = layout == "pallas"
 
     def __len__(self):

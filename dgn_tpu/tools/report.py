@@ -30,7 +30,8 @@ def load_epochs(path: str) -> List[dict]:
 def metric_key(rows: List[dict], key: Optional[str]) -> str:
     if key:
         return key
-    cand = [k for k in rows[0].get("val", rows[0]["train"])
+    # runs without a val split write "val": null — fall back to train keys
+    cand = [k for k in (rows[0].get("val") or rows[0]["train"])
             if k not in ("loss", "objective")]
     return cand[0] if cand else "loss"
 
@@ -53,19 +54,15 @@ def summarize(rows: List[dict], key: Optional[str] = None,
         if cur["lr"] != prev["lr"]:
             lr_steps.append({"epoch": cur["epoch"], "lr": cur["lr"]})
     stride = max(1, len(rows) // curve_points)
+    sampled = list(rows[::stride])
+    if sampled[-1] is not rows[-1]:   # always end on the final epoch, once
+        sampled.append(rows[-1])
     curve = [{"epoch": r["epoch"],
               "train": round(r["train"][key], 5),
               "val": round(r["val"][key], 5) if r.get("val") else None,
               "test": round(r["test"][key], 5) if r.get("test") else None,
               "lr": r["lr"]}
-             for r in rows[::stride]] + [{
-                 "epoch": rows[-1]["epoch"],
-                 "train": round(rows[-1]["train"][key], 5),
-                 "val": round(rows[-1]["val"][key], 5)
-                 if rows[-1].get("val") else None,
-                 "test": round(rows[-1]["test"][key], 5)
-                 if rows[-1].get("test") else None,
-                 "lr": rows[-1]["lr"]}]
+             for r in sampled]
     steady = [r["seconds"] for r in rows[1:]] or [rows[0]["seconds"]]
     return {
         "metric": key,

@@ -149,6 +149,7 @@ class Trainer:
         key = jax.random.PRNGKey((p.seed * 100003 + epoch) & 0x7FFFFFFF)
         acc = _MetricAccumulator(self.task)
         tp = Throughput()
+        escapes0 = getattr(loader, "n_escapes", 0)
         lr = jnp.asarray(self.scheduler.lr, jnp.float32)
         for i, gb in enumerate(loader):
             key, sub = jax.random.split(key)
@@ -160,8 +161,9 @@ class Trainer:
             "edges_per_s": round(r["edges_per_s"], 1),
             "edge_padding_efficiency": round(r["edge_padding_efficiency"], 4),
         }
-        escapes = getattr(loader, "n_escapes", None)
-        if escapes:  # typical-geometry repacks this run (data/loader.py)
+        # repacks THIS epoch, not the loader's lifetime count (data/loader.py)
+        escapes = getattr(loader, "n_escapes", 0) - escapes0
+        if escapes:
             self._last_throughput["pack_escapes"] = escapes
         return state, acc.result()
 

@@ -46,3 +46,29 @@ def test_summarize_maximized_metric(tmp_path):
     assert s["metric"] == "roc_auc"
     assert s["best_epoch"] == 11          # roc_auc increasing -> last is best
     assert s["test_at_best_val"] is not None
+
+
+def test_summarize_without_val_split(tmp_path):
+    """Runs without a val loader write "val": null (trainer.fit) — the report
+    must fall back to train keys instead of iterating None (ADVICE r2)."""
+    p = tmp_path / "m.jsonl"
+    _write_stream(str(p), n=8)
+    rows = load_epochs(str(p))
+    for r in rows:
+        r["val"] = None
+    s = summarize(rows)
+    assert s["metric"] == "mae"
+    assert s["best_val"] is None
+    assert s["best_epoch"] == rows[-1]["epoch"]   # no val -> final epoch
+    to_markdown(s, "noval")  # must not raise
+
+
+def test_curve_no_duplicate_final_row(tmp_path):
+    """When len(rows)-1 is a stride multiple, the strided sample already ends
+    on the last epoch — it must not be appended twice (ADVICE r2)."""
+    p = tmp_path / "m.jsonl"
+    _write_stream(str(p), n=25)  # stride=2, 24 % 2 == 0
+    s = summarize(load_epochs(str(p)))
+    epochs = [pt["epoch"] for pt in s["curve"]]
+    assert epochs[-1] == 24
+    assert len(epochs) == len(set(epochs))

@@ -120,6 +120,10 @@ class GraphBatch:
     # block-diagonal MXU layout (ops/mxu.py): every gather/scatter on the
     # hot path becomes a 128x128 one-hot batched matmul
     mxu: Optional[object] = None
+    # per-forward cached EdgeContext (ops/aggregators.py): eig deltas and
+    # directional normalizers are constant across the L layers, so the model
+    # attaches them once per forward pass instead of rebuilding per layer
+    edge_ctx: Optional[object] = None
 
     # ------------------------------------------------------------------ sizes
     @property

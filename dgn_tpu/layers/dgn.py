@@ -50,10 +50,12 @@ def _edge_aggregate(gb: GraphBatch, msg: jax.Array, h_in: jax.Array,
     """aggregators concat -> (scalers concat if >1) — the reduce_func
     (reference nets/dgn_layer.py:86-98)."""
     layout = gb.mxu if gb.mxu is not None else gb.kernel_layout
-    ctx = agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
-                                     gb.in_degree, names=agg_names,
-                                     need_norms=layout is None,
-                                     mxu_layout=gb.mxu)
+    ctx = gb.edge_ctx
+    if ctx is None:   # standalone layer use; DGNModel pre-attaches it
+        ctx = agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
+                                         gb.in_degree, names=agg_names,
+                                         need_norms=layout is None,
+                                         mxu_layout=gb.mxu)
     h = agg_ops.aggregate(tuple(agg_names), ctx, msg, h_in, layout=layout,
                           compute_dtype=compute_dtype)
     if len(scaler_names) > 1:

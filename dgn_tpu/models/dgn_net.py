@@ -130,6 +130,14 @@ class DGNModel(fnn.Module):
                 raise ValueError(cfg.edge_encoder)
 
         # ---- DGN layers (+ virtual node interleave)
+        # eig deltas + directional normalizers are layer-invariant (eig is
+        # fixed per batch, incl. after augmentation) — build them ONCE here
+        # instead of once per layer
+        layout = gb.mxu if gb.mxu is not None else gb.kernel_layout
+        gb = dataclasses.replace(gb, edge_ctx=agg_ops.build_edge_context(
+            gb.eig, gb.src, gb.dst, gb.edge_mask, gb.in_degree,
+            names=cfg.agg_names(), need_norms=layout is None,
+            mxu_layout=gb.mxu))
         common = dict(
             aggregators=cfg.agg_names(), scalers=cfg.scaler_names(),
             avg_d=avg_d, dropout=cfg.dropout, graph_norm=cfg.graph_norm,

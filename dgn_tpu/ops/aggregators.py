@@ -102,12 +102,13 @@ def build_edge_context(eig: jax.Array, src: jax.Array, dst: jax.Array,
     any_dir = names is None or any(_dir_spec(x) for x in names)
     delta = abs_sum = pos_sum = neg_sum = None
     if any_dir:
-        if mxu_layout is not None:
-            from . import mxu
-            delta = (mxu.gather_src(eig, mxu_layout)
-                     - mxu.gather_dst(eig, mxu_layout))
-        else:
-            delta = segment.gather(eig, src) - segment.gather(eig, dst)
+        # Always a plain XLA row gather, even under the MXU block layout: eig
+        # is input data (no gradient flows through it), so the one-hot-matmul
+        # machinery — whose whole point is a scatter-free backward — buys
+        # nothing here, and the context is built once per forward pass
+        # (models/dgn_net.py), not per layer.
+        delta = segment.gather(eig, src) - segment.gather(eig, dst)
+        delta = jax.lax.stop_gradient(delta)
         if need_norms:
             kinds = ({k for _, k in filter(None, map(_dir_spec, names))}
                      if names is not None else {"dx"})

@@ -9,15 +9,23 @@ computational graph the reference executes).
 
 Timing method: the axon TPU tunnel makes `block_until_ready` return before
 remote execution finishes, so K train steps are wrapped in ONE jit via
-lax.scan, reduced to a scalar on device, fetched with float(), and wall time
-divided by K.  All four execution layouts are timed side by side:
+lax.scan, reduced to a scalar on device, and fetched with float().  Each jit
+dispatch through the tunnel additionally carries a ~25 ms FIXED overhead
+(measured: the same scan at 8/32/128/512 steps fits total = 25 ms + K * step),
+so the per-step cost is the SLOPE of a two-point fit — scan(K_hi) minus
+scan(K_lo) over (K_hi - K_lo) — not total/K.  Layouts timed side by side:
 
-  flat      — flat COO + XLA segment scatter/gather ops
-  pallas    — flat + fused Pallas weighted-segment-sum kernel
-  mxu       — block-diagonal 128-node packing; gathers/scatters are one-hot
-              MXU matmuls (ops/mxu.py), f32
-  mxu_bf16  — same with bfloat16 matmul inputs (f32 accumulation)
+  flat        — flat COO + XLA segment scatter/gather ops
+  pallas      — flat + fused Pallas weighted-segment-sum kernel
+  mxu         — block-diagonal 128-node packing; gathers/scatters are one-hot
+                MXU matmuls (ops/mxu.py), f32
+  mxu_bf16    — same with bfloat16 matmul inputs (f32 accumulation)
+  mxu_legacy  — mxu with the linear-pretrans decomposition disabled
+                (per-edge message pipeline; what rounds 1-2 shipped)
 
+All but mxu_legacy run the decomposed edge stage
+(ops/aggregators.py:aggregate_decomposed): one gather + one fused wide
+scatter per layer, directional weights/totals hoisted to batch constants.
 The headline value is the layout run.py ships by default (resolve_layout).
 MFU is estimated from XLA's compiled flop count against the v5e bf16 peak.
 
@@ -36,7 +44,8 @@ from functools import partial
 import numpy as np
 
 BATCH = 1024
-STEPS = 50
+STEPS_LO = 16                   # two-point fit: slope removes the fixed
+STEPS_HI = 144                  # ~25 ms per-dispatch tunnel overhead
 HIDDEN = 45
 L = 4
 TORCH_STEPS = 6
@@ -73,22 +82,24 @@ def pack(graphs, layout):
 
 
 def time_layout(layout, graphs, avg_d, real_edges):
-    """Compile + time STEPS train steps inside one jit (scan); returns
-    (edges_per_s, step_ms, mfu or None)."""
+    """Compile + time train steps inside one jit (scan) at two step counts;
+    the per-step cost is the slope (fixed dispatch overhead cancels).
+    Returns (edges_per_s, step_ms, mfu or None)."""
     import jax
     import jax.numpy as jnp
 
     from dgn_tpu.models import DGNConfig, zinc_model
     from dgn_tpu.train.trainer import TrainParams, Trainer
 
-    gb = pack(graphs, layout)
+    gb = pack(graphs, "mxu" if layout == "mxu_legacy" else layout)
     cfg = DGNConfig(hidden_dim=HIDDEN, out_dim=HIDDEN, L=L,
                     type_net="complex",
                     aggregators="mean dir1-dx dir1-av",
                     scalers="identity amplification attenuation",
                     avg_d=avg_d,
                     compute_dtype="bfloat16" if layout.endswith("bf16")
-                    else None)
+                    else None,
+                    decompose=layout != "mxu_legacy")
     model, loss_fn = zinc_model(cfg)
     params = TrainParams(seed=41, init_lr=1e-3, weight_decay=3e-6)
     trainer = Trainer(model, loss_fn, params, task="zinc", donate=False)
@@ -109,22 +120,29 @@ def time_layout(layout, graphs, avg_d, real_edges):
         return losses.sum() + 0.0 * leaf.reshape(-1)[0]
 
     rng = jax.random.PRNGKey(0)
-    probe = float(run(state, rng, STEPS))              # compile + warm caches
-    assert np.isfinite(probe), (layout, probe)
-    t0 = time.perf_counter()
-    probe = float(run(state, rng, STEPS))              # scalar fetch = sync
-    dt = time.perf_counter() - t0
-    assert np.isfinite(probe), (layout, probe)
+
+    def total(n):
+        probe = float(run(state, rng, n))        # compile on first call
+        assert np.isfinite(probe), (layout, n, probe)
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            probe = float(run(state, rng, n))    # scalar fetch = device sync
+            best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(probe), (layout, n, probe)
+        return best
+
+    t_lo, t_hi = total(STEPS_LO), total(STEPS_HI)
+    step_s = max((t_hi - t_lo) / (STEPS_HI - STEPS_LO), 1e-9)
 
     mfu = None
     try:
-        ca = run.lower(state, rng, STEPS).compile().cost_analysis()
+        ca = run.lower(state, rng, STEPS_HI).compile().cost_analysis()
         if ca and ca.get("flops"):
-            mfu = float(ca["flops"]) / dt / V5E_BF16_PEAK
+            mfu = float(ca["flops"]) / STEPS_HI / step_s / V5E_BF16_PEAK
     except Exception:
         pass
-    step_ms = dt / STEPS * 1e3
-    return real_edges * STEPS / dt, step_ms, mfu
+    return real_edges / step_s, step_s * 1e3, mfu
 
 
 def bench_torch_cpu(graphs, avg_d, real_edges):
@@ -229,7 +247,7 @@ def main():
 
     graphs, avg_d, real_edges = build_graphs()
     layouts = {}
-    for layout in ("flat", "pallas", "mxu", "mxu_bf16"):
+    for layout in ("flat", "pallas", "mxu", "mxu_bf16", "mxu_legacy"):
         try:
             eps, step_ms, mfu = time_layout(layout, graphs, avg_d, real_edges)
             layouts[layout] = {"edges_per_s": round(eps, 1),
@@ -264,8 +282,9 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(ratio, 3) if ratio else None,
         "detail": {
-            "timing": "lax.scan-in-one-jit, scalar device fetch, "
-                      f"{STEPS} steps",
+            "timing": "lax.scan-in-one-jit, scalar device fetch, per-step = "
+                      f"slope between {STEPS_LO}- and {STEPS_HI}-step scans "
+                      "(cancels the ~25ms fixed tunnel dispatch overhead)",
             "headline_layout": head_key,
             "layouts": layouts,
             "torch_cpu_edges_per_s": round(cpu_eps, 1) if cpu_eps else None,

@@ -197,7 +197,7 @@ def build_argparser() -> argparse.ArgumentParser:
                       ("readout", str), ("virtual_node", str)]:
         ap.add_argument(f"--{name}", type=typ, default=None)
     for name in ["residual", "edge_feat", "graph_norm", "batch_norm",
-                 "divide_input_first", "divide_input_last"]:
+                 "divide_input_first", "divide_input_last", "decompose"]:
         ap.add_argument(f"--{name}", type=lambda s: s.lower() == "true",
                         default=None)
     # data params

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from ..graph import GraphBatch
-from ..nn import MLP, FCLayer, MaskedBatchNorm
+from ..nn import MLP, FCLayer, LinearParams, MaskedBatchNorm
 from ..ops import aggregators as agg_ops
 from ..ops import mxu
 from ..ops import scalers as scaler_ops
@@ -63,6 +63,73 @@ def _edge_aggregate(gb: GraphBatch, msg: jax.Array, h_in: jax.Array,
     return h
 
 
+def _decomposed_ctx(gb: GraphBatch, agg_names: Sequence[str]):
+    """EdgeContext with the batch-constant weight families, or None when the
+    caller must use the legacy per-edge-message path."""
+    ctx = gb.edge_ctx
+    if ctx is not None:
+        return ctx if ctx.fam_w is not None else None
+    return agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
+                                      gb.in_degree, names=agg_names,
+                                      need_norms=False, mxu_layout=gb.mxu,
+                                      decomposed=True)
+
+
+def _decomposed_aggregate(gb: GraphBatch, ctx, g_node, q_node, c_edge,
+                          h_in: jax.Array, agg_names: Sequence[str],
+                          compute_dtype=None) -> jax.Array:
+    """One gather + one wide fused scatter for the whole reduce_func — returns
+    the UNSCALED aggregator concat (scalers are folded into the posttrans
+    matmul by _fused_posttrans, or applied legacy-style for deep posttrans)."""
+    layout = gb.mxu if gb.mxu is not None else gb.kernel_layout
+    return agg_ops.aggregate_decomposed(tuple(agg_names), ctx, g_node, q_node,
+                                        h_in, c_edge=c_edge, layout=layout,
+                                        compute_dtype=compute_dtype)
+
+
+def _dot(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _linear_pretrans_parts(kernel, bias, h, e, edge_features: bool):
+    """Split a LINEAR pretrans over [h_src || h_dst (|| e)] into node/edge
+    parts: (g_node = h@W1, q_node = h@W2 + b, c_edge = e@W3 or None) such
+    that msg_e = g_node[src] + q_node[dst] (+ c_edge)."""
+    f = h.shape[-1]
+    g_node = _dot(h, kernel[:f])
+    q_node = _dot(h, kernel[f:2 * f]) + bias
+    c_edge = _dot(e, kernel[2 * f:]) if edge_features else None
+    return g_node, q_node, c_edge
+
+
+def _fused_posttrans(kernel, bias, h_in, h_agg, gb: GraphBatch,
+                     scaler_names: Sequence[str], avg_d: Dict[str, float]):
+    """Linear posttrans over concat([h_in?, scaler-scaled copies of h_agg])
+    WITHOUT materializing the concats.
+
+    Scalers are per-node scalars, so (s ⊙ x) @ W == s ⊙ (x @ W): the S scaled
+    copies collapse into one matmul against the row-blocks of the posttrans
+    kernel plus an [N, S]-column weighted sum.  h_in is None for the simple
+    layer (no input concat, reference nets/dgn_layer.py:146-148).
+    """
+    f_in = 0 if h_in is None else h_in.shape[-1]
+    out = bias if h_in is None else _dot(h_in, kernel[:f_in]) + bias
+    w_agg = h_agg.shape[-1]
+    s = len(scaler_names)
+    if s <= 1:      # reference quirk: single scaler -> no scaling at all
+        return out + _dot(h_agg, kernel[f_in:f_in + w_agg])
+    blocks = jnp.concatenate(
+        [kernel[f_in + i * w_agg: f_in + (i + 1) * w_agg] for i in range(s)],
+        axis=1)                                   # [w_agg, S*out]
+    t = _dot(h_agg, blocks)
+    cols = scaler_ops.scaler_columns(scaler_names, gb.in_degree, avg_d,
+                                     dtype=t.dtype)
+    o = kernel.shape[-1]
+    for i in range(s):
+        out = out + cols[:, i:i + 1] * t[:, i * o:(i + 1) * o]
+    return out
+
+
 class DGNLayerSimple(fnn.Module):
     """No pretrans; message = src features (reference nets/dgn_layer.py:135-202)."""
     out_dim: int
@@ -82,13 +149,33 @@ class DGNLayerSimple(fnn.Module):
         in_dim = h.shape[-1]
         residual = self.residual and (in_dim == self.out_dim)
         h_in = h
-        msg = _gather_src(gb, h, self.compute_dtype)
-        h = _edge_aggregate(gb, msg, h_in, self.aggregators, self.scalers,
-                            self.avg_d, self.compute_dtype)
-        h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
-                layers=self.posttrans_layers, mid_activation="relu",
-                last_activation="none", name="posttrans")(
-                    h, gb.node_mask, deterministic)
+        n_scal = len(self.scalers) if len(self.scalers) > 1 else 1
+        ctx = _decomposed_ctx(gb, self.aggregators)
+        if ctx is not None:   # message IS h[src]: decomposed with g=h, q=0
+            agg = _decomposed_aggregate(gb, ctx, h, None, None, h_in,
+                                        self.aggregators, self.compute_dtype)
+            if self.posttrans_layers == 1:
+                k, b = LinearParams(
+                    len(self.aggregators) * in_dim * n_scal,
+                    self.out_dim, name="posttrans")()
+                h = _fused_posttrans(k, b, None, agg, gb, self.scalers,
+                                     self.avg_d)
+            else:
+                if len(self.scalers) > 1:
+                    agg = scaler_ops.apply_scalers(tuple(self.scalers), agg,
+                                                   gb.in_degree, self.avg_d)
+                h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                        layers=self.posttrans_layers, mid_activation="relu",
+                        last_activation="none", name="posttrans")(
+                            agg, gb.node_mask, deterministic)
+        else:
+            msg = _gather_src(gb, h, self.compute_dtype)
+            h = _edge_aggregate(gb, msg, h_in, self.aggregators, self.scalers,
+                                self.avg_d, self.compute_dtype)
+            h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                    layers=self.posttrans_layers, mid_activation="relu",
+                    last_activation="none", name="posttrans")(
+                        h, gb.node_mask, deterministic)
         if self.graph_norm:
             h = h * gb.snorm_n
         if self.batch_norm:
@@ -125,21 +212,50 @@ class DGNLayerComplex(fnn.Module):
         in_dim = h.shape[-1]
         residual = self.residual and (in_dim == self.out_dim)
         h_in = h
-        hs = _gather_src(gb, h, self.compute_dtype)
-        hd = _gather_dst(gb, h, self.compute_dtype)
-        z = jnp.concatenate([hs, hd, e], axis=-1) if self.edge_features else \
-            jnp.concatenate([hs, hd], axis=-1)
-        msg = MLP(hidden_size=in_dim, out_size=in_dim,
-                  layers=self.pretrans_layers, mid_activation="relu",
-                  last_activation="none", name="pretrans")(
-                      z, gb.edge_mask, deterministic)
-        h_agg = _edge_aggregate(gb, msg, h_in, self.aggregators, self.scalers,
-                                self.avg_d, self.compute_dtype)
-        h = jnp.concatenate([h_in, h_agg], axis=-1)
-        h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
-                layers=self.posttrans_layers, mid_activation="relu",
-                last_activation="none", name="posttrans")(
-                    h, gb.node_mask, deterministic)
+        n_scal = len(self.scalers) if len(self.scalers) > 1 else 1
+        e_dim = e.shape[-1] if self.edge_features else 0
+        ctx = _decomposed_ctx(gb, self.aggregators) \
+            if self.pretrans_layers == 1 else None
+        if ctx is not None:   # linear pretrans: split into node/edge parts
+            kern, bias = LinearParams(2 * in_dim + e_dim, in_dim,
+                                      name="pretrans")()
+            g_node, q_node, c_edge = _linear_pretrans_parts(
+                kern, bias, h, e, self.edge_features)
+            agg = _decomposed_aggregate(gb, ctx, g_node, q_node, c_edge,
+                                        h_in, self.aggregators,
+                                        self.compute_dtype)
+            if self.posttrans_layers == 1:
+                k, b = LinearParams(
+                    in_dim + len(self.aggregators) * in_dim * n_scal,
+                    self.out_dim, name="posttrans")()
+                h = _fused_posttrans(k, b, h_in, agg, gb, self.scalers,
+                                     self.avg_d)
+            else:
+                if len(self.scalers) > 1:
+                    agg = scaler_ops.apply_scalers(tuple(self.scalers), agg,
+                                                   gb.in_degree, self.avg_d)
+                h = jnp.concatenate([h_in, agg], axis=-1)
+                h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                        layers=self.posttrans_layers, mid_activation="relu",
+                        last_activation="none", name="posttrans")(
+                            h, gb.node_mask, deterministic)
+        else:
+            pretrans = MLP(hidden_size=in_dim, out_size=in_dim,
+                           layers=self.pretrans_layers, mid_activation="relu",
+                           last_activation="none", name="pretrans")
+            hs = _gather_src(gb, h, self.compute_dtype)
+            hd = _gather_dst(gb, h, self.compute_dtype)
+            z = jnp.concatenate([hs, hd, e], axis=-1) if self.edge_features \
+                else jnp.concatenate([hs, hd], axis=-1)
+            msg = pretrans(z, gb.edge_mask, deterministic)
+            h_agg = _edge_aggregate(gb, msg, h_in, self.aggregators,
+                                    self.scalers, self.avg_d,
+                                    self.compute_dtype)
+            h = jnp.concatenate([h_in, h_agg], axis=-1)
+            h = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                    layers=self.posttrans_layers, mid_activation="relu",
+                    last_activation="none", name="posttrans")(
+                        h, gb.node_mask, deterministic)
         if self.graph_norm:
             h = h * gb.snorm_n
         if self.batch_norm:
@@ -173,21 +289,49 @@ class DGNTower(fnn.Module):
     @fnn.compact
     def __call__(self, gb: GraphBatch, h, e=None, deterministic: bool = True):
         in_dim = h.shape[-1]
-        hs = _gather_src(gb, h, self.compute_dtype)
-        hd = _gather_dst(gb, h, self.compute_dtype)
-        z = jnp.concatenate([hs, hd, e], axis=-1) if self.edge_features else \
-            jnp.concatenate([hs, hd], axis=-1)
-        msg = MLP(hidden_size=in_dim, out_size=in_dim,
-                  layers=self.pretrans_layers, mid_activation="relu",
-                  last_activation="none", name="pretrans")(
-                      z, gb.edge_mask, deterministic)
-        h_agg = _edge_aggregate(gb, msg, h, self.aggregators, self.scalers,
-                                self.avg_d, self.compute_dtype)
-        hcat = jnp.concatenate([h, h_agg], axis=-1)
-        out = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
-                  layers=self.posttrans_layers, mid_activation="relu",
-                  last_activation="none", name="posttrans")(
-                      hcat, gb.node_mask, deterministic)
+        n_scal = len(self.scalers) if len(self.scalers) > 1 else 1
+        e_dim = e.shape[-1] if self.edge_features else 0
+        ctx = _decomposed_ctx(gb, self.aggregators) \
+            if self.pretrans_layers == 1 else None
+        if ctx is not None:
+            kern, bias = LinearParams(2 * in_dim + e_dim, in_dim,
+                                      name="pretrans")()
+            g_node, q_node, c_edge = _linear_pretrans_parts(
+                kern, bias, h, e, self.edge_features)
+            agg = _decomposed_aggregate(gb, ctx, g_node, q_node, c_edge,
+                                        h, self.aggregators,
+                                        self.compute_dtype)
+            if self.posttrans_layers == 1:
+                k, b = LinearParams(
+                    in_dim + len(self.aggregators) * in_dim * n_scal,
+                    self.out_dim, name="posttrans")()
+                out = _fused_posttrans(k, b, h, agg, gb, self.scalers,
+                                       self.avg_d)
+            else:
+                if len(self.scalers) > 1:
+                    agg = scaler_ops.apply_scalers(tuple(self.scalers), agg,
+                                                   gb.in_degree, self.avg_d)
+                hcat = jnp.concatenate([h, agg], axis=-1)
+                out = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                          layers=self.posttrans_layers, mid_activation="relu",
+                          last_activation="none", name="posttrans")(
+                              hcat, gb.node_mask, deterministic)
+        else:
+            pretrans = MLP(hidden_size=in_dim, out_size=in_dim,
+                           layers=self.pretrans_layers, mid_activation="relu",
+                           last_activation="none", name="pretrans")
+            hs = _gather_src(gb, h, self.compute_dtype)
+            hd = _gather_dst(gb, h, self.compute_dtype)
+            z = jnp.concatenate([hs, hd, e], axis=-1) if self.edge_features \
+                else jnp.concatenate([hs, hd], axis=-1)
+            msg = pretrans(z, gb.edge_mask, deterministic)
+            h_agg = _edge_aggregate(gb, msg, h, self.aggregators, self.scalers,
+                                    self.avg_d, self.compute_dtype)
+            hcat = jnp.concatenate([h, h_agg], axis=-1)
+            out = MLP(hidden_size=self.out_dim, out_size=self.out_dim,
+                      layers=self.posttrans_layers, mid_activation="relu",
+                      last_activation="none", name="posttrans")(
+                          hcat, gb.node_mask, deterministic)
         if self.graph_norm:
             out = out * gb.snorm_n
         if self.batch_norm:

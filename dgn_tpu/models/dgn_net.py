@@ -74,6 +74,11 @@ class DGNConfig:
     # matmul input dtype for the MXU block ops ("bfloat16" for speed; None =
     # full f32).  Accumulation stays f32 either way.
     compute_dtype: Optional[str] = None
+    # linear-pretrans decomposition (ops/aggregators.py:aggregate_decomposed):
+    # one gather + one fused scatter per layer instead of the per-edge-message
+    # pipeline.  Applies when pretrans is linear (pretrans_layers=1 — every
+    # canonical config) or type_net == "simple"; False forces the legacy path.
+    decompose: bool = True
 
     def agg_names(self) -> Tuple[str, ...]:
         return tuple(agg_ops.parse_names(self.aggregators))
@@ -134,10 +139,13 @@ class DGNModel(fnn.Module):
         # fixed per batch, incl. after augmentation) — build them ONCE here
         # instead of once per layer
         layout = gb.mxu if gb.mxu is not None else gb.kernel_layout
+        decomposed = cfg.decompose and (cfg.type_net == "simple"
+                                        or cfg.pretrans_layers == 1)
         gb = dataclasses.replace(gb, edge_ctx=agg_ops.build_edge_context(
             gb.eig, gb.src, gb.dst, gb.edge_mask, gb.in_degree,
-            names=cfg.agg_names(), need_norms=layout is None,
-            mxu_layout=gb.mxu))
+            names=cfg.agg_names(),
+            need_norms=layout is None and not decomposed,
+            mxu_layout=gb.mxu, decomposed=decomposed))
         common = dict(
             aggregators=cfg.agg_names(), scalers=cfg.scaler_names(),
             avg_d=avg_d, dropout=cfg.dropout, graph_norm=cfg.graph_norm,

@@ -220,6 +220,38 @@ class MLP(fnn.Module):
                        self.last_b_norm, bn_axis=self.bn_axis)(x, mask, deterministic)
 
 
+class _FCLayerParams(fnn.Module):
+    """Declares the {kernel, bias} params of an FCLayer without computing it."""
+    in_size: int
+    out_size: int
+
+    @fnn.compact
+    def __call__(self):
+        k = self.param("kernel", fc_weight_init(self.in_size),
+                       (self.in_size, self.out_size))
+        b = self.param("bias", fnn.initializers.zeros, (self.out_size,))
+        return k, b
+
+
+class LinearParams(fnn.Module):
+    """Parameter-holder with the exact pytree of MLP(layers=1): child
+    FCLayer_0 owning {kernel, bias}.
+
+    The decomposed DGN hot path (layers/dgn.py) needs the raw weight matrix —
+    a linear pretrans splits as h@W1 + h@W2 + b across edge endpoints, and a
+    linear posttrans commutes with the per-node degree scalers — while
+    checkpoints and reference-parity mappings must keep seeing the legacy
+    `pretrans/FCLayer_0/kernel` paths.  Same names, same init distribution,
+    same shapes; only the computation moves out of the module.
+    """
+    in_size: int
+    out_size: int
+
+    @fnn.compact
+    def __call__(self):
+        return _FCLayerParams(self.in_size, self.out_size, name="FCLayer_0")()
+
+
 class MLPReadout(fnn.Module):
     """L hidden Linears (halving dims or constant) + ReLU, final Linear
     (reference nets/mlp_readout_layer.py:13-30)."""

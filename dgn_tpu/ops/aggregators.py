@@ -50,6 +50,17 @@ class EdgeContext(NamedTuple):
     # MXU block packing leaves gb.dst non-monotone; flat segment ops must
     # then not claim indices_are_sorted
     sorted_dst: bool = True
+    # ---- decomposed path (aggregate_decomposed) ----
+    # The canonical configs all use a LINEAR pretrans (pretrans_layers=1), so
+    # per-edge messages decompose as msg_e = g[src_e] + q[dst_e] (+ c_e) with
+    # node-level g, q.  Every directional weight is a function of the eig
+    # deltas only, hence BATCH-CONSTANT: the per-edge weight vectors and their
+    # per-destination totals are computed ONCE per forward pass here and
+    # reused by all L layers.  Keys: "one", "abs{k}", "delta{k}", "pos{k}",
+    # "neg{k}", "sm{k}+", "sm{k}-".  Weights are edge-mask-folded.
+    src: Optional[jax.Array] = None   # [E] int32 (flat gather of g)
+    fam_w: Optional[dict] = None      # {key: [E] float32}
+    fam_tot: Optional[dict] = None    # {key: [N] float32} per-dst weight total
 
 
 _DIR_RE = re.compile(
@@ -60,6 +71,14 @@ _PLAIN = ("mean", "sum", "max", "min", "std", "var")
 # names the fused kernel can express as weighted segment-sums
 _FUSABLE_PLAIN = ("mean", "sum", "std", "var")
 _FUSABLE_DIR = ("av", "smooth", "dx", "dx-no-abs", "dx-balanced")
+
+# Route the MXU-layout decomposed scatter through the fully-fused Pallas
+# SpMM kernel (ops/pallas/fused_spmm.py).  Module-level so benchmarks and
+# tests can A/B against the one-hot-einsum XLA lowering.  Off by default:
+# the per-chunk-grid kernel is bitwise-exact but its per-step DMA overhead
+# currently loses to the XLA one-hot lowering on real hardware (measured
+# 6.9 vs 3.9 ms/step on the ZINC bench batch).
+USE_FUSED_SPMM = False
 
 
 def parse_names(names) -> list[str]:
@@ -90,13 +109,72 @@ def max_eig_index(names: Sequence[str]) -> int:
     return mx
 
 
+def _scatter_keys(name: str) -> tuple:
+    """Weight-family keys whose FULL feature sums `name` consumes."""
+    if name in ("mean", "sum", "var", "std"):
+        return ("one",)
+    if name in ("max", "min"):
+        return ()
+    k, kind = _dir_spec(name)
+    if kind in ("av", "smooth"):
+        return (f"abs{k}",)
+    if kind in ("dx", "dx-no-abs"):
+        return (f"delta{k}",)
+    if kind == "dx-balanced":
+        return (f"pos{k}", f"neg{k}")
+    return (f"sm{k}+" if kind == "0.1" else f"sm{k}-",)
+
+
+def _total_keys(name: str) -> tuple:
+    """Weight-family keys whose per-dst TOTALS `name` consumes."""
+    d = _dir_spec(name)
+    if d is None:
+        return ()
+    k, kind = d
+    if kind in ("av", "smooth"):
+        return (f"abs{k}",)
+    if kind in ("dx", "dx-no-abs"):
+        return (f"delta{k}", f"abs{k}")
+    if kind == "dx-balanced":
+        return (f"pos{k}", f"neg{k}")
+    return (f"sm{k}+" if kind == "0.1" else f"sm{k}-",)
+
+
+def _family_weight(key: str, delta, mask, dst, n, sorted_dst):
+    """Per-edge weight vector for a family key, edge-mask-folded."""
+    maskf = mask.astype(jnp.float32)
+    if key == "one":
+        return maskf
+    if key.startswith("abs"):
+        return jnp.abs(delta[:, int(key[3:])]) * maskf
+    if key.startswith("delta"):
+        return delta[:, int(key[5:])] * maskf
+    if key.startswith("pos"):
+        return jax.nn.relu(delta[:, int(key[3:])]) * maskf
+    if key.startswith("neg"):
+        return jax.nn.relu(-delta[:, int(key[3:])]) * maskf
+    if key.startswith("sm"):
+        k = int(key[2:-1])
+        alpha = 0.1 if key.endswith("+") else -0.1
+        w = segment.segment_softmax(alpha * jnp.abs(delta[:, k]), dst, n, mask,
+                                    indices_are_sorted=sorted_dst)
+        return w * maskf
+    raise KeyError(key)
+
+
 def build_edge_context(eig: jax.Array, src: jax.Array, dst: jax.Array,
                        edge_mask: jax.Array, degree: jax.Array,
                        names: Optional[Sequence[str]] = None,
                        need_norms: bool = True,
-                       mxu_layout=None) -> EdgeContext:
+                       mxu_layout=None,
+                       decomposed: bool = False) -> EdgeContext:
     """Shared ingredients.  When `names` is given, skips work no aggregator
-    needs; when need_norms=False (fused path), skips the XLA normalizer sums."""
+    needs; when need_norms=False (fused path), skips the XLA normalizer sums.
+
+    decomposed=True additionally precomputes the per-edge weight vectors and
+    their per-destination totals for every family `names` uses — all
+    batch-constant (eig-dependent only) so this runs ONCE per forward pass
+    and amortizes across the L layers (aggregate_decomposed)."""
     n = eig.shape[0]
     sorted_dst = mxu_layout is None
     any_dir = names is None or any(_dir_spec(x) for x in names)
@@ -122,9 +200,37 @@ def build_edge_context(eig: jax.Array, src: jax.Array, dst: jax.Array,
                 neg_sum = segment.segment_sum(jax.nn.relu(-delta), dst, n,
                                               edge_mask,
                                               indices_are_sorted=sorted_dst)
+
+    fam_w = fam_tot = None
+    if decomposed and names is not None:
+        keys: list[str] = []
+        tot_keys: list[str] = []
+        for nm in names:
+            for k in _scatter_keys(nm) + _total_keys(nm):
+                if k not in keys:
+                    keys.append(k)
+            for k in _total_keys(nm):
+                if k not in tot_keys:
+                    tot_keys.append(k)
+        fam_w = {k: jax.lax.stop_gradient(
+            _family_weight(k, delta, edge_mask, dst, n, sorted_dst))
+            for k in keys}
+        fam_tot = {}
+        # softmax totals are exactly the has-an-edge indicator; "one" = degree
+        scat_keys = [k for k in tot_keys if not k.startswith("sm")]
+        if scat_keys:
+            stacked = jnp.stack([fam_w[k] for k in scat_keys], axis=1)
+            tots = segment.segment_sum(stacked, dst, n,
+                                       indices_are_sorted=sorted_dst)
+            for i, k in enumerate(scat_keys):
+                fam_tot[k] = jax.lax.stop_gradient(tots[:, i])
+        for k in tot_keys:
+            if k.startswith("sm"):
+                fam_tot[k] = (degree > 0).astype(jnp.float32)
     return EdgeContext(dst=dst, edge_mask=edge_mask, num_nodes=n,
                        degree=degree, eig_delta=delta, abs_sum=abs_sum,
-                       pos_sum=pos_sum, neg_sum=neg_sum, sorted_dst=sorted_dst)
+                       pos_sum=pos_sum, neg_sum=neg_sum, sorted_dst=sorted_dst,
+                       src=src, fam_w=fam_w, fam_tot=fam_tot)
 
 
 # ===================================================================== XLA
@@ -281,6 +387,169 @@ def _fused_aggregate(names, ctx: EdgeContext, msg, h_in, layout, interpret,
                              + (sn[:, :f] - tn[:, None] * h_in) / (tn[:, None] + EPS))
                 out[name] = jnp.abs(val)
     return out
+
+
+def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
+                         g_node: jax.Array, q_node: Optional[jax.Array],
+                         h_in: jax.Array,
+                         c_edge: Optional[jax.Array] = None,
+                         layout=None, compute_dtype=None,
+                         interpret: Optional[bool] = None) -> jax.Array:
+    """All aggregators over linearly-decomposed messages, in ONE scatter pass.
+
+    The canonical DGN configs use a linear pretrans (pretrans_layers=1,
+    reference configs/*.json), so per-edge messages factor as
+
+        msg_e = g[src_e] + q[dst_e] (+ c_e)        (q may be None -> 0)
+
+    with node-level g = h@W1 (+bias folded out), q = h@W2 + b, and (edge_feat
+    only) c_e = e@W3.  Because every directional weight w_e is a function of
+    the eig deltas alone (reference nets/aggregators.py:35-71), each
+    aggregator splits into [weighted segment-reductions of g[src] (+c)] plus
+    node-local terms with the BATCH-CONSTANT weight totals from EdgeContext:
+
+        sum_e w_e msg_e = S_w[v] + T_w[v] * q[v],   S_w = scatter(w*g), T_w = sum w
+        max_e msg_e     = segment_max(g[src]+c) + q[v]
+        var_e msg_e     = E[(g+c)^2] - E[g+c]^2     (q shifts cancel)
+
+    So the hot path needs ONE gather of g and ONE wide fused scatter per
+    layer — no per-edge MLP, no dst gather, no [E, 2F] concat.  This replaces
+    the reference's apply_edges+update_all pipeline
+    (reference nets/dgn_layer.py:112-115) with its algebraic normal form.
+    Returns the same concat as aggregate().
+    """
+    names = list(names)
+    f = g_node.shape[-1]
+    from .mxu import MXULayout
+    is_mxu = isinstance(layout, MXULayout)
+    need_sq = any(n in ("var", "std") for n in names)
+    use_kernel = (is_mxu and USE_FUSED_SPMM and not need_sq
+                  and getattr(layout, "src_order", None) is not None)
+    # the fused kernel gathers internally; ge is only materialized for the
+    # non-kernel paths and for max/min (not expressible as weighted sums)
+    need_ge = (not use_kernel) or any(n in ("max", "min") for n in names)
+
+    ge = None
+    if need_ge:
+        if is_mxu:
+            from . import mxu
+            ge = mxu.gather_src(g_node, layout, compute_dtype)
+        else:
+            ge = segment.gather(g_node, ctx.src)
+        if c_edge is not None:
+            ge = ge + c_edge
+
+    # ---- one fused scatter for every sum-family aggregator
+    full_keys: list[str] = []
+    for nm in names:
+        for k in _scatter_keys(nm):
+            if k not in full_keys:
+                full_keys.append(k)
+    S = {}
+    if full_keys:
+        if use_kernel:
+            # fully-fused Pallas kernel: on-chip one-hots, gather + weighted
+            # scatter in one pass (ops/pallas/fused_spmm.py)
+            from .pallas import fused_spmm as fsp
+            if interpret is None:
+                interpret = jax.default_backend() == "cpu"
+            W = jnp.stack([ctx.fam_w[k] for k in full_keys])
+            out = fsp.fused_weighted_spmm(g_node, W, c_edge, layout,
+                                          interpret)[:ctx.num_nodes]
+            for i, k in enumerate(full_keys):
+                S[k] = out[:, i * f:(i + 1) * f]
+        elif layout is not None and not is_mxu:
+            # Pallas BlockLayout: kernel weights the shared data internally
+            from .pallas import segment_kernels as sk
+            if interpret is None:
+                interpret = jax.default_backend() == "cpu"
+            data = jnp.concatenate([ge, ge * ge], axis=1) if need_sq else ge
+            W = jnp.stack([ctx.fam_w[k] for k in full_keys])
+            sums, _ = sk.weighted_segment_sums(data, W, layout, ctx.num_nodes,
+                                               interpret=interpret)
+            for i, k in enumerate(full_keys):
+                S[k] = sums[i]
+        else:
+            from . import mxu
+            cols, bounds, off = [], {}, 0
+            for k in full_keys:
+                d = (jnp.concatenate([ge, ge * ge], axis=1)
+                     if (k == "one" and need_sq) else ge)
+                cols.append(d * ctx.fam_w[k][:, None])
+                bounds[k] = (off, off + d.shape[1])
+                off += d.shape[1]
+            wide = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+            if is_mxu:
+                out = mxu.block_scatter_sum(
+                    wide, layout.local_dst, layout.edge_chunk_dst,
+                    layout.n_node_blocks,
+                    compute_dtype=compute_dtype)[:ctx.num_nodes]
+            else:
+                out = segment.segment_sum(wide, ctx.dst, ctx.num_nodes,
+                                          indices_are_sorted=ctx.sorted_dst)
+            for k in full_keys:
+                a, b = bounds[k]
+                S[k] = out[:, a:b]
+
+    deg = ctx.degree.astype(g_node.dtype)
+    degc = jnp.maximum(deg, 1.0)[:, None]
+    has_edge = (deg > 0)[:, None]
+    q = q_node
+
+    outs = []
+    for name in names:
+        if name == "sum":
+            s = S["one"][:, :f]
+            outs.append(s + deg[:, None] * q if q is not None else s)
+        elif name == "mean":
+            s = S["one"][:, :f] / degc
+            val = s + q if q is not None else s
+            outs.append(jnp.where(has_edge, val, 0.0))
+        elif name in ("var", "std"):
+            m1 = jnp.where(has_edge, S["one"][:, :f] / degc, 0.0)
+            m2 = jnp.where(has_edge, S["one"][:, f:2 * f] / degc, 0.0)
+            var = jax.nn.relu(m2 - m1 * m1)
+            outs.append(var if name == "var" else jnp.sqrt(var + EPS))
+        elif name in ("max", "min"):
+            op = segment.segment_max if name == "max" else segment.segment_min
+            s = op(ge, ctx.dst, ctx.num_nodes, ctx.edge_mask,
+                   indices_are_sorted=ctx.sorted_dst)
+            val = s + q if q is not None else s
+            outs.append(jnp.where(has_edge, val, 0.0))
+        else:
+            k, kind = _dir_spec(name)
+            if kind in ("av", "smooth"):
+                key = f"abs{k}"
+                tot = ctx.fam_tot[key][:, None]
+                s = S[key][:, :f]
+                if q is not None:
+                    s = s + tot * q
+                outs.append(s / (tot + EPS))
+            elif kind in ("dx", "dx-no-abs"):
+                key = f"delta{k}"
+                t = ctx.fam_tot[key][:, None]
+                norm = ctx.fam_tot[f"abs{k}"][:, None]
+                s = S[key][:, :f] - t * h_in
+                if q is not None:
+                    s = s + t * q
+                val = s / (norm + EPS)
+                outs.append(jnp.abs(val) if kind == "dx" else val)
+            elif kind == "dx-balanced":
+                tp = ctx.fam_tot[f"pos{k}"][:, None]
+                tn = ctx.fam_tot[f"neg{k}"][:, None]
+                sp = S[f"pos{k}"][:, :f] - tp * h_in
+                sn = S[f"neg{k}"][:, :f] - tn * h_in
+                if q is not None:
+                    sp = sp + tp * q
+                    sn = sn + tn * q
+                outs.append(jnp.abs(0.5 * (sp / (tp + EPS) + sn / (tn + EPS))))
+            else:       # softmax family: weights sum to 1[deg>0]
+                key = f"sm{k}+" if kind == "0.1" else f"sm{k}-"
+                s = S[key][:, :f]
+                if q is not None:
+                    s = s + ctx.fam_tot[key][:, None] * q
+                outs.append(s)
+    return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
 
 def aggregate(names: Sequence[str], ctx: EdgeContext, msg: jax.Array,

@@ -60,6 +60,14 @@ class MXULayout:
     node_chunk_graph: jax.Array
     n_node_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_graph_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # --- fused Pallas SpMM kernel extras (ops/pallas/fused_spmm.py) ---
+    # chunk visit order for the backward pass (sorted by src block, so dg
+    # accumulation revisits each output block contiguously), and which node
+    # blocks are touched at all (untouched blocks are zeroed outside the
+    # kernel — Pallas output buffers start uninitialized).
+    src_order: Optional[jax.Array] = None      # [C] int32
+    dst_covered: Optional[jax.Array] = None    # [nb] bool
+    src_covered: Optional[jax.Array] = None    # [nb] bool
 
 
 # ===================================================================== host
@@ -101,6 +109,11 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
     if local_graph[node_mask].min() < 0 or local_graph[node_mask].max() >= TILE:
         raise ValueError("node's graph outside its chunk's graph block")
 
+    nb = n_pad // TILE
+    dst_cov = np.zeros(nb, bool)
+    dst_cov[chunk_dst] = True
+    src_cov = np.zeros(nb, bool)
+    src_cov[chunk_src] = True
     return MXULayout(
         local_src=jnp.asarray(local_src),
         local_dst=jnp.asarray(local_dst),
@@ -108,8 +121,12 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
         edge_chunk_dst=jnp.asarray(chunk_dst),
         local_graph=jnp.asarray(local_graph),
         node_chunk_graph=jnp.asarray(chunk_graph),
-        n_node_blocks=n_pad // TILE,
+        n_node_blocks=nb,
         n_graph_blocks=g_pad // TILE,
+        src_order=jnp.asarray(
+            np.argsort(chunk_src, kind="stable").astype(np.int32)),
+        dst_covered=jnp.asarray(dst_cov),
+        src_covered=jnp.asarray(src_cov),
     )
 
 

@@ -69,6 +69,23 @@ def apply_scalers(names: Sequence[str], h: jax.Array, deg: jax.Array,
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
 
+def scaler_columns(names: Sequence[str], deg: jax.Array,
+                   avg_d: Dict[str, float],
+                   dtype=jnp.float32) -> jax.Array:
+    """[N, S] per-node scalar factor of each scaler (identity -> 1).
+
+    Because every scaler is a per-node SCALAR multiple, row scaling commutes
+    with the posttrans matmul: (s ⊙ x) @ W == s ⊙ (x @ W).  The decomposed
+    layer (layers/dgn.py) uses these columns to fold the scaler concat into
+    the posttrans weights instead of materializing len(scalers) scaled copies
+    of the aggregated features.
+    """
+    deg = deg.astype(dtype)
+    ones = jnp.ones_like(deg)
+    return jnp.stack([SCALERS[n](ones[:, None], deg, avg_d)[:, 0]
+                      for n in names], axis=1)
+
+
 def degree_stats(degrees) -> Dict[str, float]:
     """avg_d over concatenated train in-degrees (reference main_molecules.py:300-304):
     lin = mean(D), exp = mean(exp(1/D) - 1), log = mean(log(D + 1)).

@@ -12,8 +12,9 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..graph import (GraphBatch, GraphData, bucket_sizes_for,
-                     mxu_bucket_sizes, pack_graphs, pack_requirements,
-                     round_up, typical_bucket_sizes)
+                     mxu_bucket_sizes, mxu_pair_pad, mxu_pairs_needed,
+                     pack_graphs, pack_requirements, round_up,
+                     typical_bucket_sizes)
 
 
 def _worst_geometry(graphs, batch_size: int, layout: str):
@@ -51,9 +52,11 @@ def _escape_pack(batch, layout: str, g_pad: int, base_n: int, base_e: int):
     n_req, e_req = pack_requirements(batch, mxu_layout=layout == "mxu")
     n_pad = round_up(max(n_req + 1, base_n), 512)
     e_pad = round_up(max(e_req, base_e), 512)
+    pair_pad = (round_up(mxu_pairs_needed(batch), 64)
+                if layout == "mxu" else None)
     return pack_graphs(batch, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
                        kernel_layout=layout == "pallas",
-                       mxu_layout=layout == "mxu")
+                       mxu_layout=layout == "mxu", n_pairs_pad=pair_pad)
 
 
 class BucketedLoader:
@@ -107,10 +110,14 @@ class BucketedLoader:
             gs = [graphs[int(j)] for j in part]
             if layout == "mxu":
                 n_pad, e_pad, _ = mxu_bucket_sizes(gs, batch_size)
+                pair_pad = mxu_pair_pad(gs, batch_size, n_pad, e_pad)
             else:
                 n_pad, e_pad = bucket_sizes_for(gs, batch_size)
+                pair_pad = None
             self.buckets.append(gs)
             self.geometry.append((n_pad, e_pad))
+            self.pair_pads = getattr(self, "pair_pads", [])
+            self.pair_pads.append(pair_pad)
 
     def __len__(self):
         total = 0
@@ -161,7 +168,8 @@ class BucketedLoader:
                 yield pack_graphs(batch,
                                   n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
                                   kernel_layout=self.layout == "pallas",
-                                  mxu_layout=self.layout == "mxu")
+                                  mxu_layout=self.layout == "mxu",
+                                  n_pairs_pad=self.pair_pads[b])
             except ValueError:
                 self.n_escapes += 1
                 yield _escape_pack(batch, self.layout, self.g_pad,
@@ -218,6 +226,8 @@ class BatchLoader:
             n_pad = n_pad if n_pad is not None else n_pad_auto
             e_pad = e_pad if e_pad is not None else e_pad_auto
         self.n_pad, self.e_pad = n_pad, e_pad
+        self.pair_pad = (mxu_pair_pad(self.graphs, batch_size, n_pad, e_pad)
+                         if layout == "mxu" else None)
         self.drop_last = drop_last
         # pack_graphs auto-routes through the native C++ packer (runtime/)
         # when the library is built; no per-loader switch needed.
@@ -244,7 +254,8 @@ class BatchLoader:
                 yield pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
                                   g_pad=self.g_pad,
                                   kernel_layout=self.kernel_layout,
-                                  mxu_layout=self.layout == "mxu")
+                                  mxu_layout=self.layout == "mxu",
+                                  n_pairs_pad=self.pair_pad)
             except ValueError:
                 # tight-geometry escape: repack at the batch's exact need
                 # (the 'worst-case' estimate is NOT a true bound under the

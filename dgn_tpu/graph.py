@@ -182,6 +182,7 @@ def pack_graphs(
     kernel_layout: bool = False,
     mxu_layout: bool = False,
     native: Optional[bool] = None,
+    n_pairs_pad: Optional[int] = None,
 ) -> GraphBatch:
     """Pack a list of graphs into one fixed-shape GraphBatch (numpy -> GraphBatch).
 
@@ -198,6 +199,7 @@ def pack_graphs(
     """
     if mxu_layout:
         return _pack_graphs_mxu(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                                n_pairs_pad=n_pairs_pad,
                                 k_eig=k_eig)
     if native is None:
         from . import runtime as _rt
@@ -546,6 +548,7 @@ def _pack_graphs_mxu(
     e_pad: Optional[int],
     g_pad: Optional[int],
     k_eig: Optional[int],
+    n_pairs_pad: Optional[int] = None,
 ) -> GraphBatch:
     """pack_graphs under the block-diagonal MXU layout (ops/mxu.py).
 
@@ -660,7 +663,7 @@ def _pack_graphs_mxu(
     np.add.at(in_degree, dst[edge_mask], 1)
 
     layout = build_mxu_layout(src, dst, edge_mask, node_graph, node_mask,
-                              n_pad, g_pad)
+                              n_pad, g_pad, n_pairs_pad=n_pairs_pad)
 
     return GraphBatch(
         node_feat=jnp.asarray(node_feat),
@@ -702,6 +705,44 @@ def bucket_sizes_for(
     cn = int(ns[:batch_size].sum())
     ce = int(max(es[:batch_size].sum(), 1))
     return (round_up(cn + 1, node_multiple), round_up(ce, edge_multiple))
+
+
+def mxu_pairs_needed(batch: Sequence[GraphData]) -> int:
+    """Distinct (src_block, dst_block) pair count this batch needs under the
+    MXU layout (descending next-fit placement, the loaders' order)."""
+    batch = sorted(batch, key=lambda g: -g.num_nodes)
+    offsets, _ = _mxu_place([g.num_nodes for g in batch])
+    if not batch:
+        return 1
+    src = np.concatenate([np.asarray(g.src, np.int64) + offsets[i]
+                          for i, g in enumerate(batch)])
+    dst = np.concatenate([np.asarray(g.dst, np.int64) + offsets[i]
+                          for i, g in enumerate(batch)])
+    if not len(src):
+        return 1
+    return len(np.unique((dst // _TILE) << 32 | (src // _TILE)))
+
+
+def mxu_pair_pad(graphs: Sequence[GraphData], batch_size: int,
+                 n_pad: int, e_pad: int) -> int:
+    """Loader-stable bound on the (src_block, dst_block) pair count of ANY
+    batch_size-subset packed at (n_pad, e_pad).
+
+    n_pairs is STATIC pytree metadata of MXULayout: every batch a loader
+    yields at one bucket geometry must share it, or each batch would compile
+    its own program (and super-batch stacking would fail).  Within-block
+    (diagonal) pairs are bounded by the node-block count; off-diagonal pairs
+    only come from graphs spanning multiple 128-node blocks, each
+    contributing at most B*(B-1) with B = blocks spanned (+1 for unaligned
+    placement); everything is capped by the chunk count e_pad/128.  A batch
+    that still overflows raises in build_mxu_layout and takes the loader's
+    escape-repack path like any other geometry overflow.
+    """
+    nb = max(n_pad // _TILE, 1)
+    big = sorted((g.num_nodes for g in graphs if g.num_nodes > _TILE),
+                 reverse=True)[:batch_size]
+    off = sum((n // _TILE + 2) * (n // _TILE + 1) for n in big)
+    return min(round_up(nb + off, 64), max(e_pad // _TILE, 1))
 
 
 def pack_requirements(batch: Sequence[GraphData],

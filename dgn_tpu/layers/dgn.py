@@ -63,7 +63,8 @@ def _edge_aggregate(gb: GraphBatch, msg: jax.Array, h_in: jax.Array,
     return h
 
 
-def _decomposed_ctx(gb: GraphBatch, agg_names: Sequence[str]):
+def _decomposed_ctx(gb: GraphBatch, agg_names: Sequence[str],
+                    compute_dtype=None):
     """EdgeContext with the batch-constant weight families, or None when the
     caller must use the legacy per-edge-message path."""
     ctx = gb.edge_ctx
@@ -72,7 +73,8 @@ def _decomposed_ctx(gb: GraphBatch, agg_names: Sequence[str]):
     return agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
                                       gb.in_degree, names=agg_names,
                                       need_norms=False, mxu_layout=gb.mxu,
-                                      decomposed=True)
+                                      decomposed=True,
+                                      adj_dtype=compute_dtype)
 
 
 def _decomposed_aggregate(gb: GraphBatch, ctx, g_node, q_node, c_edge,
@@ -150,7 +152,7 @@ class DGNLayerSimple(fnn.Module):
         residual = self.residual and (in_dim == self.out_dim)
         h_in = h
         n_scal = len(self.scalers) if len(self.scalers) > 1 else 1
-        ctx = _decomposed_ctx(gb, self.aggregators)
+        ctx = _decomposed_ctx(gb, self.aggregators, self.compute_dtype)
         if ctx is not None:   # message IS h[src]: decomposed with g=h, q=0
             agg = _decomposed_aggregate(gb, ctx, h, None, None, h_in,
                                         self.aggregators, self.compute_dtype)
@@ -214,7 +216,7 @@ class DGNLayerComplex(fnn.Module):
         h_in = h
         n_scal = len(self.scalers) if len(self.scalers) > 1 else 1
         e_dim = e.shape[-1] if self.edge_features else 0
-        ctx = _decomposed_ctx(gb, self.aggregators) \
+        ctx = _decomposed_ctx(gb, self.aggregators, self.compute_dtype) \
             if self.pretrans_layers == 1 else None
         if ctx is not None:   # linear pretrans: split into node/edge parts
             kern, bias = LinearParams(2 * in_dim + e_dim, in_dim,
@@ -291,7 +293,7 @@ class DGNTower(fnn.Module):
         in_dim = h.shape[-1]
         n_scal = len(self.scalers) if len(self.scalers) > 1 else 1
         e_dim = e.shape[-1] if self.edge_features else 0
-        ctx = _decomposed_ctx(gb, self.aggregators) \
+        ctx = _decomposed_ctx(gb, self.aggregators, self.compute_dtype) \
             if self.pretrans_layers == 1 else None
         if ctx is not None:
             kern, bias = LinearParams(2 * in_dim + e_dim, in_dim,

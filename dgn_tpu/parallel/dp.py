@@ -20,8 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..graph import (GraphBatch, GraphData, bucket_sizes_for,
-                     mxu_bucket_sizes, pack_graphs, pack_requirements,
-                     round_up)
+                     mxu_bucket_sizes, mxu_pair_pad, mxu_pairs_needed,
+                     pack_graphs, pack_requirements, round_up)
 from ..train.trainer import TrainState, Trainer, TrainParams, _augment
 
 
@@ -69,14 +69,20 @@ class StackedLoader:
             n_pad = n_pad or a
             e_pad = e_pad or b
         self.n_pad, self.e_pad = n_pad, e_pad
+        self.pair_pad = (mxu_pair_pad(self.graphs, per_device_batch,
+                                      n_pad, e_pad)
+                         if layout == "mxu" else None)
 
     def __len__(self):
         sz = self.bs * self.d
         return (len(self.graphs) + sz - 1) // sz
 
-    def _pack_shard(self, gs, ghost: bool, n_pad: int, e_pad: int):
+    def _pack_shard(self, gs, ghost: bool, n_pad: int, e_pad: int,
+                    pair_pad=None):
         gb = pack_graphs(gs, n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
-                         mxu_layout=self.layout == "mxu")
+                         mxu_layout=self.layout == "mxu",
+                         n_pairs_pad=pair_pad if pair_pad is not None
+                         else self.pair_pad)
         if ghost:
             gb = dataclasses.replace(
                 gb,
@@ -118,7 +124,13 @@ class StackedLoader:
                                      self.n_pad), 512)
                 e_pad = round_up(max(max(r[1] for r in reqs),
                                      self.e_pad), 512)
-                shards = [self._pack_shard(gs, gh, n_pad, e_pad)
+                pair_pad = None
+                if self.layout == "mxu":
+                    pair_pad = round_up(
+                        max(max(mxu_pairs_needed(gs)
+                                for gs, _ in shard_graphs),
+                            self.pair_pad), 64)
+                shards = [self._pack_shard(gs, gh, n_pad, e_pad, pair_pad)
                           for gs, gh in shard_graphs]
             out = stack_batches(shards)
             if self.mesh is not None:

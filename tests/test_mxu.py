@@ -184,3 +184,44 @@ def test_mxu_bucket_sizes_fit(rng):
                          mxu_layout=True)
         assert gb.node_mask.shape[0] == n_pad
         assert gb.edge_mask.shape[0] == e_pad
+
+
+# ----------------------------------------------------- pair-axis stability
+
+def test_pair_pad_static_across_batches():
+    """n_pairs is static pytree metadata: two different batches packed at one
+    loader geometry (n_pad, e_pad, g_pad, n_pairs_pad) must produce
+    structurally identical GraphBatches (one compiled program, stackable
+    into super-batches), with pad pairs contributing zero adjacency."""
+    from dgn_tpu.data import synthetic
+    from dgn_tpu.graph import mxu_pair_pad
+
+    a = synthetic.synthetic_zinc(12, seed=1)
+    b = synthetic.synthetic_zinc(12, seed=2)
+    n_pad, e_pad, g_pad = mxu_bucket_sizes(a + b, 12)
+    pp = mxu_pair_pad(a + b, 12, n_pad, e_pad)
+
+    def pack(gs):
+        gs = sorted(gs, key=lambda g: -g.num_nodes)
+        return pack_graphs(gs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                           mxu_layout=True, n_pairs_pad=pp)
+
+    ga, gb = pack(a), pack(b)
+    assert ga.mxu.n_pairs == gb.mxu.n_pairs == pp
+    assert jax.tree_util.tree_structure(ga) == jax.tree_util.tree_structure(gb)
+    for x, y in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        assert x.shape == y.shape
+    # pad pairs keep pair_dst non-decreasing (sorted segment reduction)
+    pd = np.asarray(ga.mxu.pair_dst)
+    assert np.all(np.diff(pd) >= 0)
+
+
+def test_pair_overflow_raises():
+    from dgn_tpu.data import synthetic
+
+    gs = sorted(synthetic.synthetic_zinc(12, seed=3),
+                key=lambda g: -g.num_nodes)
+    n_pad, e_pad, g_pad = mxu_bucket_sizes(gs, 12)
+    with pytest.raises(ValueError, match="pair overflow"):
+        pack_graphs(gs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                    mxu_layout=True, n_pairs_pad=1)

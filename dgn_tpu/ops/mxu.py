@@ -86,6 +86,12 @@ class MXULayout:
     pair_src: Optional[jax.Array] = None       # [P] int32 node block
     pair_dst: Optional[jax.Array] = None       # [P] int32, non-decreasing
     n_pairs: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # chunk visit order for the Pallas adjacency-build kernel
+    # (ops/pallas/adjacency.py): chunks sorted by pair id so the kernel
+    # accumulates each pair's block in VMEM and writes it out once
+    pair_chunk_order: Optional[jax.Array] = None   # [C] int32
+    pair_sorted_ids: Optional[jax.Array] = None    # [C] int32, non-decreasing
+    pair_covered: Optional[jax.Array] = None       # [P] bool (pad pairs False)
 
 
 # ===================================================================== host
@@ -154,6 +160,9 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
         [(uniq_key % nb), np.zeros(pad, np.int64)]).astype(np.int32)
     pair_dst = np.concatenate(
         [(uniq_key // nb), np.full(pad, nb - 1, np.int64)]).astype(np.int32)
+    pair_chunk_order = np.argsort(chunk_pair, kind="stable").astype(np.int32)
+    pair_covered = np.zeros(n_pairs_pad, bool)
+    pair_covered[:n_real_pairs] = True
     return MXULayout(
         local_src=jnp.asarray(local_src),
         local_dst=jnp.asarray(local_dst),
@@ -171,6 +180,10 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
         pair_src=jnp.asarray(pair_src),
         pair_dst=jnp.asarray(pair_dst),
         n_pairs=n_pairs_pad,
+        pair_chunk_order=jnp.asarray(pair_chunk_order),
+        pair_sorted_ids=jnp.asarray(
+            chunk_pair[pair_chunk_order].astype(np.int32)),
+        pair_covered=jnp.asarray(pair_covered),
     )
 
 
@@ -248,6 +261,14 @@ def pair_adj_matmul(W: jax.Array, gp: jax.Array,
     return f(gp)
 
 
+# Route the adjacency-block build through the Pallas kernel
+# (ops/pallas/adjacency.py) on TPU backends: the XLA lowering below is
+# HBM-bound on materialized one-hots (~0.61 ms on the ZINC bench batch); the
+# kernel generates them in VMEM (measured ~0.1 ms).  Module-level so tests
+# and benchmarks can A/B the two lowerings.
+USE_ADJ_KERNEL = True
+
+
 def build_pair_adjacency(weights: jax.Array, layout: MXULayout,
                          out_dtype=None) -> jax.Array:
     """[K, E] per-family edge weights -> [P, K, TILE, TILE] adjacency blocks.
@@ -260,6 +281,10 @@ def build_pair_adjacency(weights: jax.Array, layout: MXULayout,
     (reference realworld_benchmark/nets/dgn_layer.py:115) into pure MXU
     batched matmuls.
     """
+    if USE_ADJ_KERNEL and layout.pair_chunk_order is not None \
+            and jax.default_backend() in ("tpu", "axon"):
+        from .pallas import adjacency
+        return adjacency.build_pair_adjacency(weights, layout, out_dtype)
     k, e_pad = weights.shape
     c = e_pad // TILE
     # with out_dtype=bfloat16 the whole build AND the stored blocks run at

@@ -125,7 +125,10 @@ def time_layout(layout, graphs, avg_d, real_edges):
         probe = float(run(state, rng, n))        # compile on first call
         assert np.isfinite(probe), (layout, n, probe)
         best = np.inf
-        for _ in range(2):
+        # min over 3 reps: transient tunnel hiccups only ever ADD time, and
+        # an inflated short-scan point would otherwise shrink the slope and
+        # OVER-report throughput
+        for _ in range(3):
             t0 = time.perf_counter()
             probe = float(run(state, rng, n))    # scalar fetch = device sync
             best = min(best, time.perf_counter() - t0)
@@ -143,6 +146,66 @@ def time_layout(layout, graphs, avg_d, real_edges):
     except Exception:
         pass
     return real_edges / step_s, step_s * 1e3, mfu
+
+
+def bench_pattern():
+    """SBM-PATTERN-shaped train step, mxu layout — graphs wider than one
+    128-node block, so the edge stage runs cross-block adjacency pairs
+    (the path ZINC molecules never touch).  Returns (edges_per_s, step_ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgn_tpu.data import synthetic
+    from dgn_tpu.graph import mxu_bucket_sizes, pack_graphs
+    from dgn_tpu.models import DGNConfig, sbm_model
+    from dgn_tpu.ops.scalers import degree_stats
+    from dgn_tpu.train.trainer import TrainParams, Trainer
+
+    n_graphs = 128
+    graphs = synthetic.synthetic_sbm(n_graphs, seed=41, nodes=117)
+    degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
+                           for g in graphs])
+    real_edges = sum(g.num_edges for g in graphs)
+    n_pad, e_pad, g_pad = mxu_bucket_sizes(graphs, n_graphs)
+    gb = pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
+                     mxu_layout=True)
+    # canonical PATTERN net (configs/SBMs_node_clustering_DGN_PATTERN.json)
+    cfg = DGNConfig(hidden_dim=47, out_dim=47, L=4, type_net="complex",
+                    aggregators="mean dir1-dx dir2-dx",
+                    scalers="identity amplification attenuation",
+                    avg_d=degree_stats(degs), n_out=2)
+    model, loss_fn = sbm_model(cfg, n_classes=2)
+    trainer = Trainer(model, loss_fn, TrainParams(seed=41, init_lr=1e-3),
+                      task="sbm", donate=False)
+    state = trainer.init_state(gb)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    def body(carry, _):
+        st, rng = carry
+        rng, sub = jax.random.split(rng)
+        st, loss, _ = trainer._train_step_impl(st, gb, sub, lr)
+        return (st, rng), loss
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run(st, rng, n):
+        (st, _), losses = jax.lax.scan(body, (st, rng), None, length=n)
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        return losses.sum() + 0.0 * leaf.reshape(-1)[0]
+
+    rng = jax.random.PRNGKey(0)
+
+    def total(n):
+        assert np.isfinite(float(run(state, rng, n)))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(state, rng, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = total(STEPS_LO, ), total(STEPS_HI)
+    step_s = max((t_hi - t_lo) / (STEPS_HI - STEPS_LO), 1e-9)
+    return real_edges / step_s, step_s * 1e3
 
 
 def bench_torch_cpu(graphs, avg_d, real_edges):
@@ -272,6 +335,16 @@ def main():
     tpu_eps = layouts[head_key]["edges_per_s"]
 
     try:
+        pat_eps, pat_ms = bench_pattern()
+        pattern = {"edges_per_s": round(pat_eps, 1),
+                   "step_ms": round(pat_ms, 3)}
+        log(f"[bench] pattern/mxu: {pat_eps / 1e6:.1f}M edges/s "
+            f"({pat_ms:.2f} ms/step)")
+    except Exception as e:
+        pattern = {"error": f"{type(e).__name__}: {e}"}
+        log(f"[bench] pattern FAILED: {e}")
+
+    try:
         cpu_eps = bench_torch_cpu(graphs, avg_d, real_edges)
         ratio = tpu_eps / cpu_eps
     except Exception:
@@ -287,6 +360,7 @@ def main():
                       "(cancels the ~25ms fixed tunnel dispatch overhead)",
             "headline_layout": head_key,
             "layouts": layouts,
+            "pattern_mxu": pattern,
             "torch_cpu_edges_per_s": round(cpu_eps, 1) if cpu_eps else None,
         },
     }))

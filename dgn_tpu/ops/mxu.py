@@ -265,7 +265,12 @@ def pair_adj_matmul(W: jax.Array, gp: jax.Array,
 # (ops/pallas/adjacency.py) on TPU backends: the XLA lowering below is
 # HBM-bound on materialized one-hots (~0.61 ms on the ZINC bench batch); the
 # kernel generates them in VMEM (measured ~0.1 ms).  Module-level so tests
-# and benchmarks can A/B the two lowerings.
+# and benchmarks can A/B the two lowerings.  TRACE-TIME switches, both of
+# them: the branch is resolved against jax.default_backend() when the
+# enclosing jit traces, so (a) jit(..., backend=...) overrides are not seen,
+# and (b) flipping USE_ADJ_KERNEL after a step has been traced has no effect
+# until the jit cache is dropped (e.g. fn.clear_cache()).  A/B comparisons
+# must set the flag BEFORE first trace (bench.py does).
 USE_ADJ_KERNEL = True
 
 

@@ -12,9 +12,12 @@ weights (~2 MB), generates the one-hots in VMEM via iota comparison, and
 accumulates each pair's block in an f32 VMEM scratch with MXU matmuls,
 storing the [P, K, 128, 128] result exactly once per pair.
 
-Precision: the scatter itself is exact — accumulation is f32 in VMEM and the
-one-hot matmuls run Precision.HIGHEST (one-hots are exact, so each product is
-an exact f32 weight).  This is strictly MORE precise than the XLA lowering,
+Precision: the scatter itself is exact when each (pair, local_src, local_dst)
+cell receives at most one edge — accumulation is f32 in VMEM and the one-hot
+matmuls run Precision.HIGHEST (one-hots are exact, so each product is an
+exact f32 weight).  With duplicate/multigraph edges the per-cell f32 SUM
+rounds like any f32 addition; simple graphs (all five benchmarks) never hit
+that.  This is strictly MORE precise than the XLA lowering,
 whose DEFAULT-precision einsum rounds the weights to bf16 on the MXU (both on
 TPU and, measured, on the XLA CPU backend).
 

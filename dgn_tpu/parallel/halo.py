@@ -5,9 +5,11 @@ the framework's graph analogue of sequence/context parallelism: the packed
 node axis is cut into P contiguous ranges balanced by edge count, every edge
 lives on the shard that OWNS its destination node (owner-compute), and each
 shard carries a read-only halo region with copies of the remote source nodes
-its edges reference.  Per layer, one all_gather over the 'ep' mesh axis
-refreshes the halo (graph.halo_refresh); per-graph readouts psum partial
-pools.  The per-node segment-sums distribute exactly like ring attention's
+its edges reference.  Per layer, one boundary-only all_to_all over the 'ep'
+mesh axis refreshes the halo (graph.halo_refresh): each shard ships exactly
+the rows its peers' halos reference (send_idx/recv_perm exchange plan built
+below; an all_gather fallback exists only for specs without a plan);
+per-graph readouts psum partial pools.  The per-node segment-sums distribute exactly like ring attention's
 softmax-free accumulations — associative reductions over a sharded axis.
 
 Gradients are taken OUTSIDE shard_map (loss is a replicated scalar function

@@ -57,11 +57,20 @@ def test_kernel_exact_zinc(rng):
 
 
 def test_kernel_exact_multiblock(rng):
-    """Graphs wider than one 128-node block -> off-diagonal pairs."""
+    """Graphs wider than one 128-node block -> off-diagonal pairs.
+
+    nodes=150 guarantees 135-170-node graphs, i.e. every graph spans two
+    128-node blocks and REAL cross-block (src_block != dst_block) chunks
+    exist — the accumulation path this test exists to pin.  (At the default
+    nodes=80 every graph fits one block and only pad pairs would be
+    off-diagonal.)"""
     from dgn_tpu.data import synthetic
-    gb = _packed(lambda n, seed: synthetic.synthetic_sbm(n, seed=seed), 4, 11)
+    gb = _packed(lambda n, seed: synthetic.synthetic_sbm(n, seed=seed,
+                                                         nodes=150), 4, 11)
     layout = gb.mxu
-    assert np.any(np.asarray(layout.pair_src) != np.asarray(layout.pair_dst))
+    covered = np.asarray(layout.pair_covered)
+    off_diag = (np.asarray(layout.pair_src) != np.asarray(layout.pair_dst))
+    assert np.any(off_diag & covered), "no real off-diagonal pairs packed"
     _check(gb, 2, rng)
 
 

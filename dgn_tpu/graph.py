@@ -61,26 +61,32 @@ class HaloSpec:
     axis: str = dataclasses.field(metadata=dict(static=True), default="ep")
 
 
-def halo_refresh(h: jax.Array, spec: HaloSpec) -> jax.Array:
-    """Refresh the halo region of per-node array h from the owner shards.
+def halo_pull(own: jax.Array, spec: HaloSpec) -> jax.Array:
+    """Fetch fresh halo rows [H, ...] for this shard from the owner shards.
 
     Runs inside shard_map over spec.axis.  Boundary-only path: gather the
     requested own rows per peer ([P, S, F]), all_to_all (device q's received
     slot p = shard p's buffer for q — rides ICI), permute into halo slots.
     The gather/all_to_all are differentiable, so gradients flow back to the
-    owner rows through the exchange transpose.
+    owner rows through the exchange transpose.  Returned separately from the
+    own rows so callers can keep downstream work that only reads own rows
+    free of any data dependency on the collective (exchange/compute overlap,
+    ops/aggregators.aggregate_decomposed split path).
     """
-    own = h[: spec.n_local]
     if spec.send_idx is None:              # legacy full-region exchange
         allh = jax.lax.all_gather(own, spec.axis)      # [P, n_local, ...]
-        halo = allh[spec.halo_shard, spec.halo_local]
-        return jnp.concatenate([own, halo], axis=0)
+        return allh[spec.halo_shard, spec.halo_local]
     send = own[spec.send_idx]                          # [P, S, ...]
     recv = jax.lax.all_to_all(send, spec.axis, split_axis=0, concat_axis=0,
                               tiled=True)              # [P, S, ...]
     flat = recv.reshape((-1,) + recv.shape[2:])        # [P*S, ...]
-    halo = flat[spec.recv_perm]
-    return jnp.concatenate([own, halo], axis=0)
+    return flat[spec.recv_perm]
+
+
+def halo_refresh(h: jax.Array, spec: HaloSpec) -> jax.Array:
+    """Refresh the halo region of per-node array h: [own | fresh halo]."""
+    own = h[: spec.n_local]
+    return jnp.concatenate([own, halo_pull(own, spec)], axis=0)
 
 
 @jax.tree_util.register_dataclass

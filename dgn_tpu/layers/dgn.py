@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from ..graph import GraphBatch
+from ..graph import GraphBatch, halo_pull
 from ..nn import MLP, FCLayer, LinearParams, MaskedBatchNorm
 from ..ops import aggregators as agg_ops
 from ..ops import mxu
@@ -93,6 +93,33 @@ def _dot(x, w):
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
+def ep_fused_layout(gb: GraphBatch) -> bool:
+    """True when this batch runs the edge-partitioned MXU layout with the
+    interior/boundary pair split — the layer then pulls its own halo
+    (halo_pull) INSIDE the decomposed edge stage so interior aggregation can
+    overlap the exchange; the model must NOT pre-refresh (models/dgn_net.py)."""
+    return (gb.halo is not None and gb.mxu is not None
+            and getattr(gb.mxu, "n_pairs_int", None) is not None)
+
+
+def _ep_pretrans_parts(gb: GraphBatch, kernel, bias, h, e,
+                       edge_features: bool):
+    """_linear_pretrans_parts under the EP split: g as (g_own, g_halo) with
+    the halo rows freshly exchanged, q only on own rows (halo-row outputs are
+    masked garbage anyway — zeros keep them off the collective's dependency
+    chain)."""
+    f = h.shape[-1]
+    own = h[: gb.halo.n_local]
+    halo = halo_pull(own, gb.halo)
+    g_node = (_dot(own, kernel[:f]), _dot(halo, kernel[:f]))
+    q_own = _dot(own, kernel[f:2 * f]) + bias
+    q_node = jnp.concatenate(
+        [q_own, jnp.zeros((h.shape[0] - own.shape[0], q_own.shape[-1]),
+                          q_own.dtype)], axis=0)
+    c_edge = _dot(e, kernel[2 * f:]) if edge_features else None
+    return g_node, q_node, c_edge
+
+
 def _linear_pretrans_parts(kernel, bias, h, e, edge_features: bool):
     """Split a LINEAR pretrans over [h_src || h_dst (|| e)] into node/edge
     parts: (g_node = h@W1, q_node = h@W2 + b, c_edge = e@W3 or None) such
@@ -154,7 +181,12 @@ class DGNLayerSimple(fnn.Module):
         n_scal = len(self.scalers) if len(self.scalers) > 1 else 1
         ctx = _decomposed_ctx(gb, self.aggregators, self.compute_dtype)
         if ctx is not None:   # message IS h[src]: decomposed with g=h, q=0
-            agg = _decomposed_aggregate(gb, ctx, h, None, None, h_in,
+            if ep_fused_layout(gb):
+                own = h[: gb.halo.n_local]
+                g_in = (own, halo_pull(own, gb.halo))
+            else:
+                g_in = h
+            agg = _decomposed_aggregate(gb, ctx, g_in, None, None, h_in,
                                         self.aggregators, self.compute_dtype)
             if self.posttrans_layers == 1:
                 k, b = LinearParams(
@@ -221,8 +253,12 @@ class DGNLayerComplex(fnn.Module):
         if ctx is not None:   # linear pretrans: split into node/edge parts
             kern, bias = LinearParams(2 * in_dim + e_dim, in_dim,
                                       name="pretrans")()
-            g_node, q_node, c_edge = _linear_pretrans_parts(
-                kern, bias, h, e, self.edge_features)
+            if ep_fused_layout(gb):
+                g_node, q_node, c_edge = _ep_pretrans_parts(
+                    gb, kern, bias, h, e, self.edge_features)
+            else:
+                g_node, q_node, c_edge = _linear_pretrans_parts(
+                    kern, bias, h, e, self.edge_features)
             agg = _decomposed_aggregate(gb, ctx, g_node, q_node, c_edge,
                                         h_in, self.aggregators,
                                         self.compute_dtype)
@@ -298,8 +334,12 @@ class DGNTower(fnn.Module):
         if ctx is not None:
             kern, bias = LinearParams(2 * in_dim + e_dim, in_dim,
                                       name="pretrans")()
-            g_node, q_node, c_edge = _linear_pretrans_parts(
-                kern, bias, h, e, self.edge_features)
+            if ep_fused_layout(gb):
+                g_node, q_node, c_edge = _ep_pretrans_parts(
+                    gb, kern, bias, h, e, self.edge_features)
+            else:
+                g_node, q_node, c_edge = _linear_pretrans_parts(
+                    kern, bias, h, e, self.edge_features)
             agg = _decomposed_aggregate(gb, ctx, g_node, q_node, c_edge,
                                         h, self.aggregators,
                                         self.compute_dtype)
@@ -417,11 +457,13 @@ class VirtualNode(fnn.Module):
     def __call__(self, gb: GraphBatch, h, vn_h, deterministic: bool = True):
         g = gb.num_graphs_padded
 
+        use_mxu_pool = gb.mxu is not None and gb.mxu.local_graph is not None
+
         def pool_sum(x):
-            if gb.mxu is not None:
+            if use_mxu_pool:
                 return mxu.graph_pool_sum(x, gb.mxu, g)
             return segment.segment_sum(x, gb.node_graph, g, gb.node_mask,
-                                       indices_are_sorted=True)
+                                       indices_are_sorted=gb.halo is None)
 
         def pool_mean(x):
             s = pool_sum(x)
@@ -448,7 +490,7 @@ class VirtualNode(fnn.Module):
                          name="fc_layer")(
                              vn_h + pool, gb.graph_mask, deterministic)
         vn_h = vn_h + vn_tmp if self.residual else vn_tmp
-        if gb.mxu is not None:
+        if use_mxu_pool:
             h = h + mxu.graph_broadcast(vn_h, gb.mxu)
         else:
             h = h + segment.gather(vn_h, gb.node_graph)

@@ -24,7 +24,7 @@ from flax import linen as fnn
 
 from ..graph import GraphBatch, halo_refresh
 from ..nn import Embedding, Linear, MLPReadout
-from ..layers.dgn import VirtualNode, make_dgn_layer
+from ..layers.dgn import VirtualNode, ep_fused_layout, make_dgn_layer
 from ..ops import aggregators as agg_ops
 from ..ops import scalers as scaler_ops
 from .encoders import AtomEncoder, BondEncoder
@@ -158,8 +158,13 @@ class DGNModel(fnn.Module):
         )
         use_vn = cfg.virtual_node and cfg.virtual_node.lower() != "none"
         vn_h = jnp.zeros((gb.num_graphs_padded, cfg.hidden_dim), h.dtype)
+        # EP x MXU + decomposed edge stage: the LAYER pulls its halo inside
+        # the decomposed branch (layers/dgn.py _ep_pretrans_parts) so interior
+        # pair matmuls never depend on the all_to_all — refreshing here would
+        # serialize exchange before all compute
+        layer_pulls_halo = ep_fused_layout(gb) and decomposed
         for i in range(cfg.L):
-            if gb.halo is not None:
+            if gb.halo is not None and not layer_pulls_halo:
                 # edge-partitioned: pull fresh copies of remote (halo) node
                 # features from their owners before aggregating over them
                 h = halo_refresh(h, gb.halo)

@@ -23,9 +23,11 @@ from ..ops import mxu, segment
 
 
 def _part_sum(gb: GraphBatch, h: jax.Array) -> jax.Array:
-    if gb.mxu is not None:
+    if gb.mxu is not None and gb.mxu.local_graph is not None:
         s = mxu.graph_pool_sum(h, gb.mxu, gb.num_graphs_padded)
     else:
+        # flat masked path — also the edge-partitioned MXU layout, whose
+        # shard-contiguous node ranges carry no graph-pooling blocks
         s = segment.segment_sum(h, gb.node_graph, gb.num_graphs_padded,
                                 gb.node_mask)
     if gb.halo is not None:

@@ -450,9 +450,25 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
     the reference's apply_edges+update_all pipeline
     (reference nets/dgn_layer.py:112-115) with its algebraic normal form.
     Returns the same concat as aggregate().
+
+    Edge-partitioned overlap: g_node may be a (g_own, g_halo) tuple (own-node
+    rows and freshly exchanged halo rows, layers/dgn.py EP branch).  With an
+    EP layout (n_pairs_int set) the weighted sums split into interior pairs
+    (own src blocks — no dependency on the halo all_to_all) plus boundary
+    pairs, letting XLA overlap the exchange with interior aggregation.
     """
     names = list(names)
-    f = g_node.shape[-1]
+    # Edge-partitioned split: g_node may arrive as (g_own, g_halo) — own rows
+    # and FRESHLY EXCHANGED halo rows as separate arrays, so the interior
+    # pair matmuls below carry no data dependency on the halo all_to_all and
+    # XLA's scheduler can overlap exchange with interior aggregation
+    # (SURVEY.md §5 "overlapped with local aggregation").
+    g_split = isinstance(g_node, tuple)
+    if g_split:
+        g_own, g_halo = g_node
+        f = g_own.shape[-1]
+    else:
+        f = g_node.shape[-1]
     from .mxu import MXULayout
     is_mxu = isinstance(layout, MXULayout)
     need_sq = any(n in ("var", "std") for n in names)
@@ -461,7 +477,7 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
         for k in _scatter_keys(nm):
             if k not in full_keys:
                 full_keys.append(k)
-    use_kernel = (is_mxu and USE_FUSED_SPMM and not need_sq
+    use_kernel = (is_mxu and USE_FUSED_SPMM and not need_sq and not g_split
                   and getattr(layout, "src_order", None) is not None)
     # MXU block-adjacency path: all weighted sums as one batched dense
     # [P,K,128,128] x [P,128,F] matmul against the per-forward adjacency
@@ -470,6 +486,13 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
     use_adj = (is_mxu and not use_kernel and ctx.fam_adj is not None
                and all(k in ctx.fam_adj for k in full_keys)
                and (c_edge is None or not need_sq))
+    # the split path needs the interior/boundary pair partition and only
+    # covers the weighted-sum families; anything else falls back to the
+    # concatenated form (correct, just no exchange/compute overlap)
+    if g_split and not (use_adj and not need_sq
+                        and getattr(layout, "n_pairs_int", None) is not None):
+        g_node = jnp.concatenate([g_own, g_halo], axis=0)
+        g_split = False
     # adjacency/kernel paths need no per-edge gather of g; ge is only
     # materialized for the scatter paths and for max/min (not expressible
     # as weighted sums)
@@ -478,11 +501,12 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
 
     ge = None
     if need_ge:
+        gsrc = jnp.concatenate([g_own, g_halo], axis=0) if g_split else g_node
         if is_mxu:
             from . import mxu
-            ge = mxu.gather_src(g_node, layout, compute_dtype)
+            ge = mxu.gather_src(gsrc, layout, compute_dtype)
         else:
-            ge = segment.gather(g_node, ctx.src)
+            ge = segment.gather(gsrc, ctx.src)
         if c_edge is not None:
             ge = ge + c_edge
 
@@ -506,10 +530,26 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
             # stack of slices folds back into the build_pair_adjacency array
             # (same key order); no re-materialization
             W = jnp.stack([ctx.fam_adj[k] for k in full_keys], axis=1)
-            gp = g_node.reshape(nb, mxu.TILE, f)[layout.pair_src]
-            T = mxu.pair_adj_matmul(W, gp, compute_dtype)      # [P,K,t,F]
-            Sb = jax.ops.segment_sum(T, layout.pair_dst, nb,
-                                     indices_are_sorted=True)  # [nb,K,t,F]
+            if g_split:
+                # interior pairs read own blocks (independent of the halo
+                # exchange — schedulable while the all_to_all is in flight);
+                # boundary pairs read the freshly pulled halo blocks.  Each
+                # group is dst-major, so both segment sums are sorted.
+                ni, nbo = layout.n_pairs_int, layout.n_own_blocks
+                gp_i = g_own.reshape(nbo, mxu.TILE, f)[layout.pair_src[:ni]]
+                t_i = mxu.pair_adj_matmul(W[:ni], gp_i, compute_dtype)
+                gp_b = g_halo.reshape(nb - nbo, mxu.TILE, f)[
+                    layout.pair_src[ni:] - nbo]
+                t_b = mxu.pair_adj_matmul(W[ni:], gp_b, compute_dtype)
+                Sb = (jax.ops.segment_sum(t_i, layout.pair_dst[:ni], nb,
+                                          indices_are_sorted=True)
+                      + jax.ops.segment_sum(t_b, layout.pair_dst[ni:], nb,
+                                            indices_are_sorted=True))
+            else:
+                gp = g_node.reshape(nb, mxu.TILE, f)[layout.pair_src]
+                T = mxu.pair_adj_matmul(W, gp, compute_dtype)  # [P,K,t,F]
+                Sb = jax.ops.segment_sum(T, layout.pair_dst, nb,
+                                         indices_are_sorted=True)  # [nb,K,t,F]
             Sb = Sb.transpose(1, 0, 2, 3).reshape(len(full_keys), -1, f)
             for i, k in enumerate(full_keys):
                 S[k] = Sb[i][:ctx.num_nodes]
@@ -562,7 +602,7 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
                 a, b = bounds[k]
                 S[k] = out[:, a:b]
 
-    deg = ctx.degree.astype(g_node.dtype)
+    deg = ctx.degree.astype((g_own if g_split else g_node).dtype)
     degc = jnp.maximum(deg, 1.0)[:, None]
     has_edge = (deg > 0)[:, None]
     q = q_node

@@ -36,6 +36,7 @@ where DGL buckets nodes by in-degree, we bucket whole graphs into MXU tiles.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -65,8 +66,12 @@ class MXULayout:
     local_dst: jax.Array
     edge_chunk_src: jax.Array
     edge_chunk_dst: jax.Array
-    local_graph: jax.Array
-    node_chunk_graph: jax.Array
+    # graph-pooling blocks — None under edge-partitioned packing
+    # (parallel/halo.py), where a shard's contiguous node range cannot honor
+    # the one-graph-block-per-node-chunk invariant; per-graph pools then run
+    # the flat masked segment path instead (models/readout.py)
+    local_graph: Optional[jax.Array]
+    node_chunk_graph: Optional[jax.Array]
     n_node_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_graph_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
     # --- fused Pallas SpMM kernel extras (ops/pallas/fused_spmm.py) ---
@@ -92,6 +97,18 @@ class MXULayout:
     pair_chunk_order: Optional[jax.Array] = None   # [C] int32
     pair_sorted_ids: Optional[jax.Array] = None    # [C] int32, non-decreasing
     pair_covered: Optional[jax.Array] = None       # [P] bool (pad pairs False)
+    # --- edge-partitioned extras (build_mxu_layout_ep) ---
+    # pairs are ordered [interior | boundary]: the first n_pairs_int pairs
+    # read src blocks from the shard's OWN node region, the rest from the
+    # halo region.  Static so the decomposed edge stage can aggregate
+    # interior pairs while the halo all_to_all is still in flight
+    # (aggregators.aggregate_decomposed split path).  None on non-EP layouts.
+    n_pairs_int: Optional[int] = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    # node blocks in the own region (boundary pair_src offsets index the halo
+    # region as pair_src - n_own_blocks)
+    n_own_blocks: Optional[int] = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
 
 # ===================================================================== host
@@ -187,6 +204,104 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
     )
 
 
+def build_mxu_layout_ep(src: np.ndarray, dst: np.ndarray,
+                        edge_mask: np.ndarray, n_ext: int, nb_own: int,
+                        n_pairs_int_pad: int,
+                        n_pairs_bnd_pad: int) -> MXULayout:
+    """MXULayout for ONE edge-partition shard (parallel/halo.py).
+
+    The shard's node axis is [own | halo] (both 128-aligned); edges are
+    already arranged into (src_block, dst_block) chunks by _mxu_edge_arrange.
+    Differences vs build_mxu_layout:
+      * no graph-pooling blocks (local_graph=None — pooling runs the flat
+        masked segment path);
+      * pairs ordered [interior | boundary] by whether the src block lies in
+        the own region (< nb_own), each group dst-major, each group padded to
+        a static shard-uniform size — so the decomposed edge stage can run
+        interior pair matmuls with NO data dependency on the halo exchange.
+    Pad pairs in both groups point at (src 0 / nb_own, dst nb-1) and receive
+    no chunks, so their adjacency blocks are zero.
+    """
+    e_pad = len(src)
+    if e_pad % TILE or n_ext % TILE:
+        raise ValueError("mxu ep layout needs TILE-multiple axes")
+    cs = src.reshape(-1, TILE) // TILE
+    cd = dst.reshape(-1, TILE) // TILE
+    em = edge_mask.reshape(-1, TILE)
+
+    def _chunk_id(blocks, mask):
+        first = blocks[:, 0]
+        ok = np.all((blocks == first[:, None]) | ~mask, axis=1)
+        if not np.all(ok):
+            raise ValueError("edge chunk spans multiple node blocks")
+        return first.astype(np.int32)
+
+    chunk_src = _chunk_id(cs, em)
+    chunk_dst = _chunk_id(cd, em)
+    local_src = (src - chunk_src.repeat(TILE) * TILE).astype(np.int32)
+    local_dst = (dst - chunk_dst.repeat(TILE) * TILE).astype(np.int32)
+    nb = n_ext // TILE
+
+    # distinct pairs, interior group first, dst-major inside each group
+    pair_key = chunk_dst.astype(np.int64) * nb + chunk_src
+    is_bnd_chunk = chunk_src >= nb_own
+    uniq_key, inv = np.unique(
+        pair_key + np.where(is_bnd_chunk, np.int64(nb) * nb, 0),
+        return_inverse=True)
+    bnd_mask = uniq_key >= np.int64(nb) * nb
+    n_int_real = int((~bnd_mask).sum())
+    n_bnd_real = int(bnd_mask.sum())
+    if n_int_real > n_pairs_int_pad or n_bnd_real > n_pairs_bnd_pad:
+        raise ValueError(
+            f"ep pair overflow: ({n_int_real},{n_bnd_real}) > "
+            f"({n_pairs_int_pad},{n_pairs_bnd_pad})")
+    key_mod = uniq_key % (np.int64(nb) * nb)
+    # pair id remap: interior ids [0, n_int_real) then pad, boundary ids
+    # [n_pairs_int_pad, ...) then pad
+    new_id = np.where(bnd_mask,
+                      n_pairs_int_pad + np.cumsum(bnd_mask) - 1,
+                      np.cumsum(~bnd_mask) - 1).astype(np.int64)
+    chunk_pair = new_id[inv].astype(np.int32)
+    n_pairs = n_pairs_int_pad + n_pairs_bnd_pad
+    pair_src = np.zeros(n_pairs, np.int32)
+    pair_dst = np.full(n_pairs, nb - 1, np.int32)
+    pair_src[n_pairs_int_pad:] = nb_own          # boundary pads: halo block 0
+    pair_src[new_id] = (key_mod % nb).astype(np.int32)
+    pair_dst[new_id] = (key_mod // nb).astype(np.int32)
+    pair_covered = np.zeros(n_pairs, bool)
+    pair_covered[new_id] = True
+    pair_chunk_order = np.argsort(chunk_pair, kind="stable").astype(np.int32)
+
+    dst_cov = np.zeros(nb, bool)
+    dst_cov[chunk_dst] = True
+    src_cov = np.zeros(nb, bool)
+    src_cov[chunk_src] = True
+    return MXULayout(
+        local_src=jnp.asarray(local_src),
+        local_dst=jnp.asarray(local_dst),
+        edge_chunk_src=jnp.asarray(chunk_src),
+        edge_chunk_dst=jnp.asarray(chunk_dst),
+        local_graph=None,
+        node_chunk_graph=None,
+        n_node_blocks=nb,
+        n_graph_blocks=0,
+        src_order=jnp.asarray(
+            np.argsort(chunk_src, kind="stable").astype(np.int32)),
+        dst_covered=jnp.asarray(dst_cov),
+        src_covered=jnp.asarray(src_cov),
+        chunk_pair=jnp.asarray(chunk_pair),
+        pair_src=jnp.asarray(pair_src),
+        pair_dst=jnp.asarray(pair_dst),
+        n_pairs=n_pairs,
+        pair_chunk_order=jnp.asarray(pair_chunk_order),
+        pair_sorted_ids=jnp.asarray(
+            chunk_pair[pair_chunk_order].astype(np.int32)),
+        pair_covered=jnp.asarray(pair_covered),
+        n_pairs_int=n_pairs_int_pad,
+        n_own_blocks=nb_own,
+    )
+
+
 # =================================================================== device
 
 def _onehot(local: jax.Array, dtype) -> jax.Array:
@@ -194,6 +309,32 @@ def _onehot(local: jax.Array, dtype) -> jax.Array:
     row (pad sentinel)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE), 2)
     return (local[:, :, None] == iota).astype(dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4))
+def _onehot_einsum_cast(spec_fwd: str, spec_bwd: str, oh: jax.Array,
+                        x: jax.Array, cd_name: str) -> jax.Array:
+    cd = jnp.dtype(cd_name)
+    return jnp.einsum(spec_fwd, oh.astype(cd), x.astype(cd),
+                      preferred_element_type=x.dtype)
+
+
+def _onehot_einsum_cast_fwd(spec_fwd, spec_bwd, oh, x, cd_name):
+    return _onehot_einsum_cast(spec_fwd, spec_bwd, oh, x, cd_name), (oh,)
+
+
+def _onehot_einsum_cast_bwd(spec_fwd, spec_bwd, cd_name, res, g):
+    (oh,) = res
+    cd = jnp.dtype(cd_name)
+    # oh carries no gradient (one-hot routing of batch-constant indices) —
+    # its zero cotangent is dropped/DCE'd.  The cotangent g carries the
+    # output dtype (== x's dtype), which the transposed product must keep.
+    return (jnp.zeros_like(oh),
+            jnp.einsum(spec_bwd, oh.astype(cd), g.astype(cd),
+                       preferred_element_type=g.dtype))
+
+
+_onehot_einsum_cast.defvjp(_onehot_einsum_cast_fwd, _onehot_einsum_cast_bwd)
 
 
 def _onehot_einsum(spec_fwd: str, spec_bwd: str, oh: jax.Array, x: jax.Array,
@@ -205,28 +346,38 @@ def _onehot_einsum(spec_fwd: str, spec_bwd: str, oh: jax.Array, x: jax.Array,
     exact in bf16, so the only rounding is on the data operand.  Without it,
     plain f32.  (A custom_vjp is needed because JAX's einsum transpose would
     otherwise promote the mixed f32-cotangent x bf16-residual product back to
-    the slow f32 MXU path.)
+    the slow f32 MXU path.  oh is an explicit argument, not a closure —
+    closed-over tracers break custom_vjp when the surrounding shard_map is
+    differentiated, as the edge-partitioned trainer does.)
     """
     if compute_dtype is None:
         return jnp.einsum(spec_fwd, oh, x, preferred_element_type=x.dtype)
-    cd = jnp.dtype(compute_dtype)
-    out_dtype = x.dtype
-    ohc = oh.astype(cd)
+    return _onehot_einsum_cast(spec_fwd, spec_bwd, oh, x,
+                               jnp.dtype(compute_dtype).name)
 
-    @jax.custom_vjp
-    def f(x):
-        return jnp.einsum(spec_fwd, ohc, x.astype(cd),
-                          preferred_element_type=out_dtype)
 
-    def fwd(x):
-        return f(x), None
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pair_adj_mm_cast(W, gp, cd_name):
+    cd = jnp.dtype(cd_name)
+    return jnp.einsum("pkij,pif->pkjf", W.astype(cd), gp.astype(cd),
+                      preferred_element_type=gp.dtype)
 
-    def bwd(_, g):
-        return (jnp.einsum(spec_bwd, ohc, g.astype(cd),
-                           preferred_element_type=out_dtype),)
 
-    f.defvjp(fwd, bwd)
-    return f(x)
+def _pair_adj_mm_cast_fwd(W, gp, cd_name):
+    return _pair_adj_mm_cast(W, gp, cd_name), (W,)
+
+
+def _pair_adj_mm_cast_bwd(cd_name, res, dT):
+    (W,) = res
+    cd = jnp.dtype(cd_name)
+    # W is a stop_gradient'd batch constant — zero cotangent, dropped/DCE'd;
+    # the cotangent dT carries the output dtype (== gp's dtype)
+    return (jnp.zeros_like(W),
+            jnp.einsum("pkij,pkjf->pif", W.astype(cd), dT.astype(cd),
+                       preferred_element_type=dT.dtype))
+
+
+_pair_adj_mm_cast.defvjp(_pair_adj_mm_cast_fwd, _pair_adj_mm_cast_bwd)
 
 
 def pair_adj_matmul(W: jax.Array, gp: jax.Array,
@@ -235,30 +386,17 @@ def pair_adj_matmul(W: jax.Array, gp: jax.Array,
     stage as a batched dense matmul over per-pair adjacency blocks.
 
     W: [P, K, TILE, TILE] per-family weighted adjacency blocks (batch
-    constants — treated as non-differentiable); gp: [P, TILE, F] src node
-    blocks gathered per pair.  Differentiable in gp only; with compute_dtype
-    both directions run bf16 inputs / f32 accumulation.
+    constants, stop_gradient'd by the caller); gp: [P, TILE, F] src node
+    blocks gathered per pair.  With compute_dtype both directions run bf16
+    inputs / f32 accumulation via a custom_vjp (W as an explicit argument —
+    closed-over tracers break custom_vjp under differentiated shard_maps,
+    the edge-partitioned trainer's structure); without it, a plain einsum
+    whose transpose never reaches the stop_gradient'd W.
     """
-    out_dtype = gp.dtype
-    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else None
-    Wc = W.astype(cd) if cd is not None else W
-
-    @jax.custom_vjp
-    def f(gp):
-        x = gp.astype(cd) if cd is not None else gp
-        return jnp.einsum("pkij,pif->pkjf", Wc, x,
-                          preferred_element_type=out_dtype)
-
-    def fwd(gp):
-        return f(gp), None
-
-    def bwd(_, dT):
-        d = dT.astype(cd) if cd is not None else dT
-        return (jnp.einsum("pkij,pkjf->pif", Wc, d,
-                           preferred_element_type=out_dtype),)
-
-    f.defvjp(fwd, bwd)
-    return f(gp)
+    if compute_dtype is None:
+        return jnp.einsum("pkij,pif->pkjf", W, gp,
+                          preferred_element_type=gp.dtype)
+    return _pair_adj_mm_cast(W, gp, jnp.dtype(compute_dtype).name)
 
 
 # Route the adjacency-block build through the Pallas kernel

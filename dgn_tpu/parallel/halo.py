@@ -37,12 +37,19 @@ def _round_up(x: int, m: int) -> int:
 
 def partition_batch(graphs: Sequence[GraphData], n_shards: int,
                     g_pad: Optional[int] = None, axis: str = "ep",
-                    multiple: int = 8) -> GraphBatch:
+                    multiple: int = 8, layout: str = "flat") -> GraphBatch:
     """Pack graphs into ONE batch partitioned over n_shards (leading axis P).
 
     Node axis cut into contiguous ranges with ~balanced edge counts; all
     shards share static shapes (max local nodes / edges / halo, rounded up).
     Graph-level arrays (labels, masks, counts) are replicated per shard.
+
+    layout="mxu": each shard's [own | halo] node axis is 128-block-aligned
+    and its edges are arranged into (src_block, dst_block) chunks, so the
+    decomposed edge stage runs the block-adjacency MXU matmuls
+    (ops/mxu.build_mxu_layout_ep) — with pairs split interior/boundary so
+    interior aggregation overlaps the halo exchange.  layout="flat" keeps the
+    plain COO segment path.
     """
     g = len(graphs)
     g_pad = int(g_pad or g)
@@ -106,10 +113,78 @@ def partition_batch(graphs: Sequence[GraphData], n_shards: int,
         remote = np.unique(s[(s < los[p]) | (s >= his[p])])
         halos.append(remote)
 
+    if layout not in ("flat", "mxu"):
+        raise ValueError(f"unknown ep layout {layout!r}")
+    if layout == "mxu":
+        multiple = 128
     n_loc_pad = _round_up(int((his - los).max()), multiple)
     h_pad = _round_up(max((len(h) for h in halos), default=1), multiple)
     e_pad = _round_up(max((len(e) for e in per_e), default=1), multiple)
     n_ext = n_loc_pad + h_pad
+
+    # ---- per-shard local edge endpoints (dst always own; src own or halo)
+    shard_lsrc, shard_ldst = [], []
+    for p in range(n_shards):
+        lo, hi = int(los[p]), int(his[p])
+        halo_pos = {int(v): i for i, v in enumerate(halos[p])}
+        gsrc = src[per_e[p]]
+        lsrc = np.where((gsrc >= lo) & (gsrc < hi), gsrc - lo, 0)
+        is_remote = (gsrc < lo) | (gsrc >= hi)
+        if is_remote.any():
+            lsrc = lsrc.copy()
+            lsrc[is_remote] = np.array(
+                [n_loc_pad + halo_pos[int(v)] for v in gsrc[is_remote]])
+        shard_lsrc.append(lsrc.astype(np.int32))
+        shard_ldst.append((dst[per_e[p]] - lo).astype(np.int32))
+
+    # ---- edge arrangement per layout: (slot->edge perm with -1 pads,
+    # src, dst, mask) all at a shard-uniform e_pad, plus the block layout
+    mxu_layouts = None
+    if layout == "mxu":
+        from ..graph import _mxu_edge_arrange
+        from ..ops.mxu import TILE, build_mxu_layout_ep
+        arranged = [_mxu_edge_arrange(shard_lsrc[p], shard_ldst[p])
+                    for p in range(n_shards)]
+        e_pad = _round_up(max((len(a[1]) for a in arranged), default=1), TILE)
+        nb, nb_own = n_ext // TILE, n_loc_pad // TILE
+        shard_arr = []
+        for order, src_p, dst_p, valid in arranged:
+            e_used = len(src_p)
+            s_arr = np.full(e_pad, n_ext - TILE, np.int32)
+            d_arr = np.full(e_pad, n_ext - TILE, np.int32)
+            em = np.zeros(e_pad, bool)
+            perm = np.full(e_pad, -1, np.int64)
+            s_arr[:e_used] = src_p
+            d_arr[:e_used] = dst_p
+            em[:e_used] = valid
+            perm[:e_used] = order
+            csb = s_arr.reshape(-1, TILE)[:, 0] // TILE
+            cdb = d_arr.reshape(-1, TILE)[:, 0] // TILE
+            keys = np.unique(cdb.astype(np.int64) * nb + csb)
+            n_int = int(((keys % nb) < nb_own).sum())
+            shard_arr.append((perm, s_arr, d_arr, em, n_int,
+                              len(keys) - n_int))
+        ip = _round_up(max(x[4] for x in shard_arr), 8)
+        bp = _round_up(max(x[5] for x in shard_arr), 8)
+        mxu_layouts = [
+            build_mxu_layout_ep(s, d, em, n_ext, nb_own, ip, bp)
+            for _, s, d, em, _, _ in shard_arr]
+        shard_edge_plan = [(x[0], x[1], x[2], x[3]) for x in shard_arr]
+    else:
+        shard_edge_plan = []
+        for p in range(n_shards):
+            lsrc, ldst = shard_lsrc[p], shard_ldst[p]
+            order = np.lexsort((lsrc, ldst))
+            e_real = len(order)
+            perm = np.full(e_pad, -1, np.int64)
+            s_arr = np.zeros(e_pad, np.int32)
+            d_arr = np.zeros(e_pad, np.int32)
+            em = np.zeros(e_pad, bool)
+            perm[:e_real] = order
+            s_arr[:e_real] = lsrc[order]
+            d_arr[:e_real] = ldst[order]
+            em[:e_real] = True
+            shard_edge_plan.append((perm, s_arr, d_arr, em))
 
     # ---- boundary-only exchange plan (graph.halo_refresh): send_lists[p][q]
     # = p-local row ids that q's halo references, in q's (sorted) halo order
@@ -144,35 +219,19 @@ def partition_batch(graphs: Sequence[GraphData], n_shards: int,
         nl = ext(node_labels) if node_labels is not None else None
         pe = ext(pos_enc) if pos_enc is not None else None
 
-        # local index map: own -> [0, n_loc), halo -> n_loc_pad + pos
-        halo_pos = {int(v): i for i, v in enumerate(halo)}
+        # edge arrays from the per-layout arrangement; perm maps edge slots
+        # back into this shard's edge list (-1 for pad slots)
+        perm, s_arr, d_arr, em = shard_edge_plan[p]
         es = per_e[p]
-        gsrc = src[es]
-        gdst = dst[es]
-        lsrc = np.where((gsrc >= lo) & (gsrc < hi), gsrc - lo, 0)
-        is_remote = (gsrc < lo) | (gsrc >= hi)
-        if is_remote.any():
-            lsrc = lsrc.copy()
-            lsrc[is_remote] = np.array(
-                [n_loc_pad + halo_pos[int(v)] for v in gsrc[is_remote]])
-        ldst = gdst - lo
-        order = np.lexsort((lsrc, ldst))
-        lsrc, ldst = lsrc[order], ldst[order]
-        e_real = len(es)
-        s_arr = np.zeros(e_pad, np.int32)
-        d_arr = np.zeros(e_pad, np.int32)
-        em = np.zeros(e_pad, bool)
-        s_arr[:e_real] = lsrc
-        d_arr[:e_real] = ldst
-        em[:e_real] = True
+        sel = perm >= 0
         se = np.zeros((e_pad, 1), np.float32)
-        se[:e_real] = snorm_e[es][order]
+        se[sel] = snorm_e[es][perm[sel]]
         ef = None
         if edge_feat is not None:
             ef = zeros_like_cols(edge_feat, e_pad)
-            ef[:e_real] = edge_feat[es][order]
+            ef[sel] = edge_feat[es][perm[sel]]
         indeg = np.zeros(n_ext, np.int32)
-        np.add.at(indeg, d_arr[:e_real], 1)
+        np.add.at(indeg, d_arr[em], 1)
 
         # graph arrays: replicated
         gm = np.zeros(g_pad, bool)
@@ -227,6 +286,12 @@ def partition_batch(graphs: Sequence[GraphData], n_shards: int,
                          send_idx=stk("send_idx"),
                          recv_perm=stk("recv_perm"),
                          n_local=n_loc_pad, axis=axis)
+    mxu_stacked = None
+    if mxu_layouts is not None:
+        # stack per-shard layouts leaf-wise into one [P, ...] MXULayout
+        # (static fields are shard-uniform by construction)
+        mxu_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *mxu_layouts)
     return GraphBatch(
         node_feat=stk("node_feat"), node_mask=stk("node_mask"),
         node_graph=stk("node_graph"), eig=stk("eig"),
@@ -236,7 +301,7 @@ def partition_batch(graphs: Sequence[GraphData], n_shards: int,
         graph_mask=stk("graph_mask"), n_nodes=stk("n_nodes"),
         n_edges=stk("n_edges"), labels=stk("labels"),
         node_labels=stk("node_labels"), pos_enc=stk("pos_enc"),
-        kernel_layout=None, halo=halo_spec)
+        kernel_layout=None, halo=halo_spec, mxu=mxu_stacked)
 
 
 def _peel(tree):
@@ -365,7 +430,7 @@ class PartitionedLoader:
     def __init__(self, graphs: Sequence[GraphData], batch_size: int,
                  n_shards: int, shuffle: bool = False, seed: int = 0,
                  g_pad: Optional[int] = None, axis: str = "ep",
-                 multiple: int = 8):
+                 multiple: int = 8, layout: str = "flat"):
         self.graphs = list(graphs)
         self.bs = batch_size
         self.n_shards = n_shards
@@ -374,6 +439,7 @@ class PartitionedLoader:
         self.g_pad = g_pad or batch_size
         self.axis = axis
         self.multiple = multiple
+        self.layout = layout
 
     def __len__(self):
         return (len(self.graphs) + self.bs - 1) // self.bs
@@ -385,4 +451,5 @@ class PartitionedLoader:
         for i in range(0, len(idx), self.bs):
             sel = [self.graphs[j] for j in idx[i:i + self.bs]]
             yield partition_batch(sel, self.n_shards, g_pad=self.g_pad,
-                                  axis=self.axis, multiple=self.multiple)
+                                  axis=self.axis, multiple=self.multiple,
+                                  layout=self.layout)

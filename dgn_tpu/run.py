@@ -48,12 +48,13 @@ def resolve_layout(layout: str, n_devices: int = 1,
                    partition: str = "dp") -> str:
     """'auto' -> the fastest measured layout for the execution mode.
 
-    Single-device and DP runs take the block-diagonal MXU packing (the
-    benchmarked hot path, ops/mxu.py); edge-partitioned runs keep the flat
-    layout (halo-local indices are not block-aligned)."""
+    Every mode takes the block-diagonal MXU packing (the benchmarked hot
+    path, ops/mxu.py); edge-partitioned runs use the shard-local variant
+    (parallel/halo.py partition_batch(layout='mxu')) whose interior/boundary
+    pair split overlaps the halo exchange with interior aggregation."""
     if layout != "auto":
         return layout
-    return "flat" if partition == "ep" else "mxu"
+    return "mxu"
 
 
 def prepare(cfg, n_devices: int = 1, partition: str = "dp"):
@@ -120,7 +121,8 @@ def prepare(cfg, n_devices: int = 1, partition: str = "dp"):
         for split, gs in ds.splits.items():
             loaders[split] = PartitionedLoader(
                 gs, batch_size=bs, n_shards=n_devices,
-                shuffle=(split == "train"), seed=cfg.params.seed, g_pad=bs)
+                shuffle=(split == "train"), seed=cfg.params.seed, g_pad=bs,
+                layout=layout)
         example = pack_graphs(ds.train[:min(bs, len(ds.train))], g_pad=bs)
     elif n_devices > 1:
         from .parallel import DataParallelTrainer, StackedLoader, make_mesh

@@ -55,12 +55,15 @@ def test_partition_batch_structure():
                                                       for g in graphs)
 
 
-def test_partitioned_forward_matches_single(monkeypatch):
+@pytest.mark.parametrize("layout", ["flat", "mxu"])
+def test_partitioned_forward_matches_single(layout):
     graphs, cfg, cfg_ep = _zinc_setup()
     model, loss_fn = zinc_model(cfg)
     model_ep, _ = zinc_model(cfg_ep)
     gb = pack_graphs(graphs, g_pad=10)
-    pb = partition_batch(graphs, N_DEV, g_pad=10)
+    pb = partition_batch(graphs, N_DEV, g_pad=10, layout=layout)
+    if layout == "mxu":
+        assert pb.mxu is not None and pb.mxu.n_pairs_int is not None
     v = model.init(jax.random.PRNGKey(0), gb, deterministic=True)
 
     want = model.apply(v, gb, deterministic=True)
@@ -73,12 +76,13 @@ def test_partitioned_forward_matches_single(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_partitioned_gradients_match_single():
+@pytest.mark.parametrize("layout", ["flat", "mxu"])
+def test_partitioned_gradients_match_single(layout):
     graphs, cfg, cfg_ep = _zinc_setup()
     model, loss_fn = zinc_model(cfg)
     model_ep, _ = zinc_model(cfg_ep)
     gb = pack_graphs(graphs, g_pad=10)
-    pb = partition_batch(graphs, N_DEV, g_pad=10)
+    pb = partition_batch(graphs, N_DEV, g_pad=10, layout=layout)
     v = model.init(jax.random.PRNGKey(1), gb, deterministic=True)
     bs = v.get("batch_stats", {})
 
@@ -126,7 +130,8 @@ def test_partitioned_virtual_node_matches_single():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_partitioned_node_level_sbm():
+@pytest.mark.parametrize("layout", ["flat", "mxu"])
+def test_partitioned_node_level_sbm(layout):
     graphs = synthetic.synthetic_sbm(4, seed=5, n_classes=2, nodes=40)
     cfg = DGNConfig(hidden_dim=10, out_dim=10, L=2, type_net="simple",
                     aggregators="mean dir1-dx", scalers="identity",
@@ -135,7 +140,7 @@ def test_partitioned_node_level_sbm():
     model, loss_fn = sbm_model(cfg, 2)
     model_ep, _ = sbm_model(cfg_ep, 2)
     gb = pack_graphs(graphs, g_pad=4)
-    pb = partition_batch(graphs, N_DEV, g_pad=4)
+    pb = partition_batch(graphs, N_DEV, g_pad=4, layout=layout)
     v = model.init(jax.random.PRNGKey(4), gb, deterministic=True)
 
     want = model.apply(v, gb, deterministic=True)
@@ -160,10 +165,39 @@ def test_partitioned_node_level_sbm():
     assert nl.sum() == np.asarray(gb.node_labels)[want_nm].sum()
 
 
+def test_ep_mxu_partition_structure():
+    """Block invariants of the EP MXU packing: every real edge chunk's pairs
+    split interior-first, dsts always own blocks, srcs own or halo."""
+    graphs = synthetic.synthetic_zinc(12, seed=9)
+    pb = partition_batch(graphs, 4, g_pad=12, layout="mxu")
+    lay = pb.mxu
+    assert lay is not None and lay.local_graph is None
+    nbo = lay.n_own_blocks
+    ni = lay.n_pairs_int
+    for p in range(4):
+        ps = np.asarray(lay.pair_src[p])
+        pd = np.asarray(lay.pair_dst[p])
+        cov = np.asarray(lay.pair_covered[p])
+        # interior group: own src blocks; boundary group: halo src blocks
+        assert np.all(ps[:ni][cov[:ni]] < nbo)
+        assert np.all(ps[ni:][cov[ni:]] >= nbo)
+        # both groups dst-major (their segment sums claim sortedness)
+        assert np.all(np.diff(pd[:ni]) >= 0)
+        assert np.all(np.diff(pd[ni:]) >= 0)
+        # real edges: dst own, in range
+        em = np.asarray(pb.edge_mask[p])
+        assert np.asarray(pb.dst[p])[em].max(initial=0) < pb.halo.n_local
+    # real node/edge totals preserved
+    assert int(np.asarray(pb.node_mask).sum()) == sum(g.num_nodes
+                                                      for g in graphs)
+    assert int(np.asarray(pb.edge_mask).sum()) == sum(g.num_edges
+                                                      for g in graphs)
+
+
 def test_partitioned_train_step_runs_and_learns():
     graphs, cfg, cfg_ep = _zinc_setup(L=2)
     model_ep, loss_fn = zinc_model(cfg_ep)
-    pb = partition_batch(graphs, N_DEV, g_pad=10)
+    pb = partition_batch(graphs, N_DEV, g_pad=10, layout="mxu")
     trainer = EdgeParallelTrainer(model_ep, loss_fn,
                                   TrainParams(init_lr=1e-2), _mesh(),
                                   task="zinc")

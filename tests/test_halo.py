@@ -194,6 +194,67 @@ def test_ep_mxu_partition_structure():
                                                       for g in graphs)
 
 
+def test_ep_mxu_interior_matmuls_independent_of_exchange():
+    """The overlap property (SURVEY §5 'overlapped with local aggregation'):
+    in the traced EP program, each layer's INTERIOR pair matmul must not be
+    a (transitive) data dependent of the halo all_to_all — that independence
+    is what lets XLA's scheduler run interior aggregation while the exchange
+    is in flight.  Boundary pair matmuls must depend on it."""
+    graphs, cfg, cfg_ep = _zinc_setup(L=2)
+    cfg_ep = dataclasses.replace(cfg_ep, aggregators="mean dir1-dx dir1-av")
+    model_ep, loss_fn = zinc_model(cfg_ep)
+    pb = partition_batch(graphs, N_DEV, g_pad=10, layout="mxu")
+    trainer = EdgeParallelTrainer(model_ep, loss_fn, TrainParams(),
+                                  _mesh(), task="zinc")
+    init_gb = jax.tree_util.tree_map(
+        lambda x: x[0], dataclasses.replace(pb, halo=None))
+    v = model_ep.init(jax.random.PRNGKey(0), init_gb, deterministic=True)
+    jaxpr = jax.make_jaxpr(
+        lambda p: trainer._fwd_eval(p, v.get("batch_stats", {}), pb))(
+            v["params"])
+
+    def find_inner(jx):
+        for eqn in jx.eqns:
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                inner = eqn.params.get(key) if eqn.params else None
+                if inner is None:
+                    continue
+                cj = inner.jaxpr if hasattr(inner, "jaxpr") else inner
+                if any(e.primitive.name == "all_to_all" for e in cj.eqns):
+                    return cj
+                r = find_inner(cj)
+                if r is not None:
+                    return r
+        return None
+
+    inner = find_inner(jaxpr.jaxpr)
+    assert inner is not None, "no all_to_all in the traced EP program"
+    a2a_ids = [i for i, e in enumerate(inner.eqns)
+               if e.primitive.name == "all_to_all"]
+    assert len(a2a_ids) == 2, a2a_ids          # one exchange per layer (L=2)
+
+    def pair_dots_independent_of(a2a_idx):
+        """Pair matmuls NOT in the forward dependency cone of that a2a."""
+        tainted, free = set(), 0
+        for i, eqn in enumerate(inner.eqns):
+            deps = any(str(iv) in tainted for iv in eqn.invars
+                       if hasattr(iv, "aval"))
+            if i == a2a_idx or deps:
+                tainted.update(str(ov) for ov in eqn.outvars)
+            if eqn.primitive.name == "dot_general":
+                shp = eqn.invars[0].aval.shape
+                if len(shp) == 4 and shp[-2:] == (128, 128) and not deps:
+                    free += 1
+        return free
+
+    # layer i's interior matmul must be independent of layer i's exchange:
+    # for the i-th all_to_all (1-indexed), the dots of layers < i (2 each)
+    # plus layer i's interior dot are outside its cone -> >= 2i-1
+    for i, idx in enumerate(a2a_ids, start=1):
+        free = pair_dots_independent_of(idx)
+        assert free >= 2 * i - 1, (i, free)
+
+
 def test_partitioned_train_step_runs_and_learns():
     graphs, cfg, cfg_ep = _zinc_setup(L=2)
     model_ep, loss_fn = zinc_model(cfg_ep)

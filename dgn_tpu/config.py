@@ -38,10 +38,9 @@ class DataParams:
     synthetic_size: int = 512     # graphs per split in synthetic fallback
     # execution layout of the packed batches (graph.pack_graphs):
     #   flat   — one flat COO edge list, XLA segment ops
-    #   pallas — flat + fused Pallas weighted-segment-sum kernel layout
     #   mxu    — block-diagonal 128-node packing; every hot gather/scatter is
     #            a one-hot MXU matmul (ops/mxu.py)
-    #   auto   — mxu on single-device runs, flat under DP/EP sharding
+    #   auto   — mxu everywhere (single-device, DP, and EP)
     layout: str = "auto"
     # >1: size-bucketed batching (data/loader.py BucketedLoader) — K tight
     # bucket geometries / K compilations instead of 1 worst-case shape.
@@ -210,7 +209,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--proportion", type=float, default=None)
     ap.add_argument("--synthetic_size", type=int, default=None)
     ap.add_argument("--layout", type=str, default=None,
-                    choices=["auto", "flat", "pallas", "mxu"],
+                    choices=["auto", "flat", "mxu"],
                     help="execution layout (DataParams.layout)")
     ap.add_argument("--compute_dtype", type=str, default=None,
                     help="matmul input dtype for MXU block ops, e.g. bfloat16")
@@ -231,6 +230,21 @@ def build_argparser() -> argparse.ArgumentParser:
                     choices=["dp", "ep"],
                     help="multi-device strategy: dp = batch sharding, "
                          "ep = edge-partitioned graphs w/ halo exchange")
+    ap.add_argument("--seeds", type=str, default=None,
+                    help="comma-separated seed list, e.g. 41,42,43,44 — run "
+                         "the full pipeline once per seed and report "
+                         "mean±std in the reference's comparison-table "
+                         "format (reference realworld_benchmark/"
+                         "README.md:32)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join the multi-host JAX runtime "
+                         "(jax.distributed.initialize) before building the "
+                         "mesh; auto-detects on TPU pods")
+    ap.add_argument("--coordinator_address", type=str, default=None,
+                    help="multihost coordinator host:port (TPU pods "
+                         "auto-detect)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     return ap
 
 
@@ -239,6 +253,7 @@ def config_from_args(argv=None) -> tuple:
     args = ap.parse_args(argv)
     ov = {k: v for k, v in vars(args).items()
           if k not in ("config", "checkpoint", "resume", "n_devices",
-                       "partition")}
+                       "partition", "multihost", "coordinator_address",
+                       "num_processes", "process_id", "seeds")}
     cfg = load_config(args.config, ov)
     return cfg, args

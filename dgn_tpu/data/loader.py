@@ -55,7 +55,6 @@ def _escape_pack(batch, layout: str, g_pad: int, base_n: int, base_e: int):
     pair_pad = (round_up(mxu_pairs_needed(batch), 64)
                 if layout == "mxu" else None)
     return pack_graphs(batch, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
-                       kernel_layout=layout == "pallas",
                        mxu_layout=layout == "mxu", n_pairs_pad=pair_pad)
 
 
@@ -87,7 +86,7 @@ class BucketedLoader:
     def __init__(self, graphs: Sequence[GraphData], batch_size: int,
                  n_buckets: int = 4, shuffle: bool = False, seed: int = 0,
                  drop_last: bool = False, layout: str = "flat"):
-        if layout not in ("flat", "pallas", "mxu"):
+        if layout not in ("flat", "mxu"):
             raise ValueError(f"unknown layout {layout!r}")
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -167,7 +166,6 @@ class BucketedLoader:
             try:
                 yield pack_graphs(batch,
                                   n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
-                                  kernel_layout=self.layout == "pallas",
                                   mxu_layout=self.layout == "mxu",
                                   n_pairs_pad=self.pair_pads[b])
             except ValueError:
@@ -181,10 +179,9 @@ class BatchLoader:
                  shuffle: bool = False, seed: int = 0,
                  n_pad: Optional[int] = None, e_pad: Optional[int] = None,
                  drop_last: bool = False,
-                 kernel_layout: bool = False, layout: Optional[str] = None,
+                 layout: Optional[str] = None,
                  geometry: str = "worst"):
-        """layout: 'flat' (default) | 'pallas' | 'mxu' — see graph.pack_graphs.
-        kernel_layout=True is the legacy spelling of layout='pallas'.
+        """layout: 'flat' (default) | 'mxu' — see graph.pack_graphs.
 
         geometry (used only when n_pad/e_pad are not given explicitly):
           'worst'   — any-subset bound (sum of the batch_size largest graphs);
@@ -203,8 +200,8 @@ class BatchLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         if layout is None:
-            layout = "pallas" if kernel_layout else "flat"
-        if layout not in ("flat", "pallas", "mxu"):
+            layout = "flat"
+        if layout not in ("flat", "mxu"):
             raise ValueError(f"unknown layout {layout!r}")
         if geometry not in ("worst", "typical"):
             raise ValueError(f"unknown geometry {geometry!r}")
@@ -231,7 +228,6 @@ class BatchLoader:
         self.drop_last = drop_last
         # pack_graphs auto-routes through the native C++ packer (runtime/)
         # when the library is built; no per-loader switch needed.
-        self.kernel_layout = layout == "pallas"
 
     def __len__(self):
         n = len(self.graphs)
@@ -253,7 +249,6 @@ class BatchLoader:
             try:
                 yield pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
                                   g_pad=self.g_pad,
-                                  kernel_layout=self.kernel_layout,
                                   mxu_layout=self.layout == "mxu",
                                   n_pairs_pad=self.pair_pad)
             except ValueError:

@@ -119,8 +119,6 @@ class GraphBatch:
     labels: Optional[jax.Array]     # [G, ...] task labels (graph-level) or None
     node_labels: Optional[jax.Array] = None   # [N] int32 (node-level tasks) or None
     pos_enc: Optional[jax.Array] = None       # [N, P] positional-encoding features or None
-    # optional Pallas kernel edge layout (ops/pallas/segment_kernels.py)
-    kernel_layout: Optional[object] = None
     # edge-partitioned execution: halo-region spec (parallel/halo.py)
     halo: Optional[HaloSpec] = None
     # block-diagonal MXU layout (ops/mxu.py): every gather/scatter on the
@@ -185,7 +183,6 @@ def pack_graphs(
     g_pad: Optional[int] = None,
     k_eig: Optional[int] = None,
     sort_edges_by_dst: bool = True,
-    kernel_layout: bool = False,
     mxu_layout: bool = False,
     native: Optional[bool] = None,
     n_pairs_pad: Optional[int] = None,
@@ -195,11 +192,11 @@ def pack_graphs(
     The moral equivalent of `dgl.batch` + the reference collate
     (reference data/molecules.py:219-230), made shape-static: node/edge/graph
     axes are padded to (n_pad, e_pad, g_pad).  Edges are optionally sorted by
-    destination so the segment reductions see monotone segment ids (required by
-    the Pallas kernels; also lets XLA use sorted segment reductions).
+    destination so the segment reductions see monotone segment ids (lets
+    XLA use sorted segment reductions).
 
     native: route the edge pipeline (offset + counting sort + degrees +
-    normalizers, and the Pallas block layout) through the C++ packer
+    normalizers) through the C++ packer
     (runtime/packer.cpp).  None = auto (use it when the library is
     available); output is bit-identical to the numpy path.
     """
@@ -213,7 +210,7 @@ def pack_graphs(
     if native:
         return _pack_graphs_native(
             graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad, k_eig=k_eig,
-            sort_edges_by_dst=sort_edges_by_dst, kernel_layout=kernel_layout)
+            sort_edges_by_dst=sort_edges_by_dst)
     g = len(graphs)
     tot_n = sum(gr.num_nodes for gr in graphs)
     tot_e = sum(gr.num_edges for gr in graphs)
@@ -313,11 +310,6 @@ def pack_graphs(
     in_degree = np.zeros((n_pad,), dtype=np.int32)
     np.add.at(in_degree, dst[edge_mask], 1)
 
-    layout = None
-    if kernel_layout:
-        from .ops.pallas.segment_kernels import build_block_layout
-        layout = build_block_layout(dst, edge_mask, n_pad)
-
     return GraphBatch(
         node_feat=jnp.asarray(node_feat),
         node_mask=jnp.asarray(node_mask),
@@ -336,7 +328,6 @@ def pack_graphs(
         labels=None if labels is None else jnp.asarray(labels),
         node_labels=None if node_labels is None else jnp.asarray(node_labels),
         pos_enc=None if pos_enc is None else jnp.asarray(pos_enc),
-        kernel_layout=layout,
     )
 
 
@@ -348,7 +339,6 @@ def _pack_graphs_native(
     g_pad: Optional[int],
     k_eig: Optional[int],
     sort_edges_by_dst: bool,
-    kernel_layout: bool,
 ) -> GraphBatch:
     """pack_graphs with the edge pipeline in C++ (runtime/packer.cpp):
     one native pass does offsetting, (dst, src) counting sort, masks,
@@ -428,17 +418,6 @@ def _pack_graphs_native(
         pos_enc = np.zeros((n_pad, graphs[0].pos_enc.shape[1]), np.float32)
         pos_enc[:tot_n] = np.concatenate([gr.pos_enc for gr in graphs])
 
-    layout = None
-    if kernel_layout:
-        from .ops.pallas.segment_kernels import (E_CHUNK, TILE_N, BlockLayout)
-        bperm, bvalid, ldst, chunk_block, visited = rt.block_layout(
-            ed["dst"], ed["edge_mask"], n_pad, TILE_N, E_CHUNK)
-        layout = BlockLayout(
-            perm=jnp.asarray(bperm), slot_valid=jnp.asarray(bvalid),
-            local_dst=jnp.asarray(ldst), chunk_block=jnp.asarray(chunk_block),
-            block_visited=jnp.asarray(visited),
-            n_blocks=(n_pad + TILE_N - 1) // TILE_N, e_packed=len(bperm))
-
     return GraphBatch(
         node_feat=jnp.asarray(node_feat),
         node_mask=jnp.asarray(ed["node_mask"]),
@@ -457,7 +436,6 @@ def _pack_graphs_native(
         labels=None if labels is None else jnp.asarray(labels),
         node_labels=None if node_labels is None else jnp.asarray(node_labels),
         pos_enc=None if pos_enc is None else jnp.asarray(pos_enc),
-        kernel_layout=layout,
     )
 
 
@@ -755,7 +733,7 @@ def pack_requirements(batch: Sequence[GraphData],
                       mxu_layout: bool = False) -> tuple[int, int]:
     """EXACT (n_used, e_used) slots pack_graphs needs for this batch.
 
-    flat/pallas: total nodes (+1 ghost) and total edges.
+    flat: total nodes (+1 ghost) and total edges.
     mxu: simulate block placement (_mxu_place) and per-(src_block, dst_block)
     run padding (_mxu_edge_arrange) — cheap host numpy, no arrays retained.
     Assumes the batch is packed in DESCENDING num_nodes order (what the

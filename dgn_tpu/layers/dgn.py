@@ -49,7 +49,7 @@ def _edge_aggregate(gb: GraphBatch, msg: jax.Array, h_in: jax.Array,
                     avg_d: Dict[str, float], compute_dtype=None) -> jax.Array:
     """aggregators concat -> (scalers concat if >1) — the reduce_func
     (reference nets/dgn_layer.py:86-98)."""
-    layout = gb.mxu if gb.mxu is not None else gb.kernel_layout
+    layout = gb.mxu
     ctx = gb.edge_ctx
     if ctx is None:   # standalone layer use; DGNModel pre-attaches it
         ctx = agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
@@ -83,7 +83,7 @@ def _decomposed_aggregate(gb: GraphBatch, ctx, g_node, q_node, c_edge,
     """One gather + one wide fused scatter for the whole reduce_func — returns
     the UNSCALED aggregator concat (scalers are folded into the posttrans
     matmul by _fused_posttrans, or applied legacy-style for deep posttrans)."""
-    layout = gb.mxu if gb.mxu is not None else gb.kernel_layout
+    layout = gb.mxu
     return agg_ops.aggregate_decomposed(tuple(agg_names), ctx, g_node, q_node,
                                         h_in, c_edge=c_edge, layout=layout,
                                         compute_dtype=compute_dtype)

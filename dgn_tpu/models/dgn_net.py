@@ -138,7 +138,7 @@ class DGNModel(fnn.Module):
         # eig deltas + directional normalizers are layer-invariant (eig is
         # fixed per batch, incl. after augmentation) — build them ONCE here
         # instead of once per layer
-        layout = gb.mxu if gb.mxu is not None else gb.kernel_layout
+        layout = gb.mxu
         decomposed = cfg.decompose and (cfg.type_net == "simple"
                                         or cfg.pretrans_layers == 1)
         gb = dataclasses.replace(gb, edge_ctx=agg_ops.build_edge_context(

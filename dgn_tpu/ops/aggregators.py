@@ -17,13 +17,13 @@ with d_e = eig_u[k] - eig_v[k] and S_k(v) = sum_{e->v} |d_e|
 
 Two execution paths share these formulas:
   * XLA: one masked segment op per aggregator (always available).
-  * Pallas fused (ops/pallas/segment_kernels.py): because every directional
-    normalizer S is constant per destination, normalization commutes with the
-    reduction — so mean/sum/var/std and ALL directional families reduce to
-    weighted segment-sums with *unnormalized* per-edge weights (1, |d|, d,
-    relu(+-d)), computed in a single kernel pass whose weight-totals column
-    simultaneously yields S, the in-degree, and the dir-dx centered term.
-    min/max and the softmax family fall back to XLA.
+  * MXU block layout (ops/mxu.py): because every directional normalizer S is
+    constant per destination, normalization commutes with the reduction — so
+    mean/sum/var/std and ALL directional families reduce to weighted
+    segment-sums with *unnormalized* per-edge weights (1, |d|, d, relu(+-d)),
+    computed as one-hot / block-adjacency MXU matmuls whose weight-totals
+    columns simultaneously yield S, the in-degree, and the dir-dx centered
+    term.  min/max and the softmax family fall back to XLA segment ops.
 """
 from __future__ import annotations
 
@@ -76,17 +76,6 @@ _PLAIN = ("mean", "sum", "max", "min", "std", "var")
 # names the fused kernel can express as weighted segment-sums
 _FUSABLE_PLAIN = ("mean", "sum", "std", "var")
 _FUSABLE_DIR = ("av", "smooth", "dx", "dx-no-abs", "dx-balanced")
-
-# Route the MXU-layout decomposed scatter through the fully-fused Pallas
-# SpMM kernel (ops/pallas/fused_spmm.py).  Module-level so benchmarks and
-# tests can A/B against the XLA lowerings.  Off by default: the
-# per-chunk-grid kernel is bitwise-exact but per-grid-step overhead loses
-# both to the one-hot-einsum lowering (measured 6.9 vs 3.9 ms/step on the
-# ZINC bench batch) and to the shipped block-adjacency matmul path
-# (mxu.pair_adj_matmul, ~1.9 ms/step), which reaches the same
-# no-materialized-one-hots goal with plain batched MXU matmuls.
-USE_FUSED_SPMM = False
-
 
 def parse_names(names) -> list[str]:
     """'mean dir1-dx dir1-av' -> validated list (string-registry UX,
@@ -329,13 +318,12 @@ def _fusable(name: str) -> bool:
     return d is not None and d[1] in _FUSABLE_DIR
 
 
-def _fused_aggregate(names, ctx: EdgeContext, msg, h_in, layout, interpret,
+def _fused_aggregate(names, ctx: EdgeContext, msg, h_in, layout,
                      compute_dtype=None):
     """All sum-family aggregators in one fused reduction; returns {name: [N, F]}.
 
-    Backend depends on the layout type: an ops.mxu.MXULayout runs the
-    block-diagonal one-hot-matmul pass (zero scatters, fwd+bwd on the MXU);
-    a Pallas BlockLayout runs the chunked kernel.
+    layout is an ops.mxu.MXULayout: the block-diagonal one-hot-matmul pass
+    (zero scatters, fwd+bwd on the MXU).
     """
     f = msg.shape[1]
     need_sq = any(n in ("var", "std") for n in names)
@@ -369,23 +357,14 @@ def _fused_aggregate(names, ctx: EdgeContext, msg, h_in, layout, interpret,
     n_full = sum(1 for k in keys if full[k])
     msg_aug = jnp.concatenate([msg, msg * msg], axis=1) if need_sq else msg
 
-    from .mxu import MXULayout
-    if isinstance(layout, MXULayout):
-        from . import mxu
-        mask = ctx.edge_mask.astype(msg.dtype)
-        W = jnp.stack([specs[k] * mask for k in keys])
-        sums, totals = mxu.weighted_segment_sums(msg_aug, W, layout,
-                                                 ctx.num_nodes, n_full=n_full,
-                                                 compute_dtype=compute_dtype)
-        S = {k: (sums[i] if i < n_full else None, totals[i])
-             for i, k in enumerate(keys)}
-    else:
-        from .pallas import segment_kernels as sk
-        W = jnp.stack([specs[k] for k in keys])
-        sums, totals = sk.weighted_segment_sums(msg_aug, W, layout,
-                                                ctx.num_nodes,
-                                                interpret=interpret)
-        S = {k: (sums[i], totals[i]) for i, k in enumerate(keys)}
+    from . import mxu
+    mask = ctx.edge_mask.astype(msg.dtype)
+    W = jnp.stack([specs[k] * mask for k in keys])
+    sums, totals = mxu.weighted_segment_sums(msg_aug, W, layout,
+                                             ctx.num_nodes, n_full=n_full,
+                                             compute_dtype=compute_dtype)
+    S = {k: (sums[i] if i < n_full else None, totals[i])
+         for i, k in enumerate(keys)}
 
     deg = ctx.degree.astype(msg.dtype)
     degc = jnp.maximum(deg, 1.0)[:, None]
@@ -426,8 +405,7 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
                          g_node: jax.Array, q_node: Optional[jax.Array],
                          h_in: jax.Array,
                          c_edge: Optional[jax.Array] = None,
-                         layout=None, compute_dtype=None,
-                         interpret: Optional[bool] = None) -> jax.Array:
+                         layout=None, compute_dtype=None) -> jax.Array:
     """All aggregators over linearly-decomposed messages, in ONE scatter pass.
 
     The canonical DGN configs use a linear pretrans (pretrans_layers=1,
@@ -477,13 +455,11 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
         for k in _scatter_keys(nm):
             if k not in full_keys:
                 full_keys.append(k)
-    use_kernel = (is_mxu and USE_FUSED_SPMM and not need_sq and not g_split
-                  and getattr(layout, "src_order", None) is not None)
     # MXU block-adjacency path: all weighted sums as one batched dense
     # [P,K,128,128] x [P,128,F] matmul against the per-forward adjacency
     # blocks.  var/std with edge features can't decompose ((g+c)^2 has a
     # cross term), so that combination keeps the one-hot scatter path.
-    use_adj = (is_mxu and not use_kernel and ctx.fam_adj is not None
+    use_adj = (is_mxu and ctx.fam_adj is not None
                and all(k in ctx.fam_adj for k in full_keys)
                and (c_edge is None or not need_sq))
     # the split path needs the interior/boundary pair partition and only
@@ -493,11 +469,10 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
                         and getattr(layout, "n_pairs_int", None) is not None):
         g_node = jnp.concatenate([g_own, g_halo], axis=0)
         g_split = False
-    # adjacency/kernel paths need no per-edge gather of g; ge is only
+    # the adjacency path needs no per-edge gather of g; ge is only
     # materialized for the scatter paths and for max/min (not expressible
     # as weighted sums)
-    need_ge = (not (use_kernel or use_adj)) \
-        or any(n in ("max", "min") for n in names)
+    need_ge = not use_adj or any(n in ("max", "min") for n in names)
 
     ge = None
     if need_ge:
@@ -513,18 +488,7 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
     # ---- one fused scatter/matmul pass for every sum-family aggregator
     S = {}
     if full_keys:
-        if use_kernel:
-            # fully-fused Pallas kernel: on-chip one-hots, gather + weighted
-            # scatter in one pass (ops/pallas/fused_spmm.py)
-            from .pallas import fused_spmm as fsp
-            if interpret is None:
-                interpret = jax.default_backend() == "cpu"
-            W = jnp.stack([ctx.fam_w[k] for k in full_keys])
-            out = fsp.fused_weighted_spmm(g_node, W, c_edge, layout,
-                                          interpret)[:ctx.num_nodes]
-            for i, k in enumerate(full_keys):
-                S[k] = out[:, i * f:(i + 1) * f]
-        elif use_adj:
+        if use_adj:
             from . import mxu
             nb = layout.n_node_blocks
             # stack of slices folds back into the build_pair_adjacency array
@@ -569,17 +533,6 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
                     compute_dtype=compute_dtype)[:ctx.num_nodes]
                 for i, k in enumerate(full_keys):
                     S[k] = S[k] + sc[:, i * f:(i + 1) * f]
-        elif layout is not None and not is_mxu:
-            # Pallas BlockLayout: kernel weights the shared data internally
-            from .pallas import segment_kernels as sk
-            if interpret is None:
-                interpret = jax.default_backend() == "cpu"
-            data = jnp.concatenate([ge, ge * ge], axis=1) if need_sq else ge
-            W = jnp.stack([ctx.fam_w[k] for k in full_keys])
-            sums, _ = sk.weighted_segment_sums(data, W, layout, ctx.num_nodes,
-                                               interpret=interpret)
-            for i, k in enumerate(full_keys):
-                S[k] = sums[i]
         else:
             from . import mxu
             cols, bounds, off = [], {}, 0
@@ -665,24 +618,20 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
 
 def aggregate(names: Sequence[str], ctx: EdgeContext, msg: jax.Array,
               h_in: jax.Array, layout=None,
-              interpret: Optional[bool] = None,
               compute_dtype=None) -> jax.Array:
     """Run aggregators and concat on the feature axis -> [N, len(names)*F].
 
     Mirrors the reference reduce_func concat (reference nets/dgn_layer.py:94).
-    With a BlockLayout, sum-family aggregators run through the fused Pallas
-    kernel; others use XLA segment ops.
+    With an MXULayout, sum-family aggregators run the fused one-hot-matmul
+    pass; others use XLA segment ops.
     """
     names = list(names)
     fused = {}
     if layout is not None:
-        from .mxu import MXULayout
-        if interpret is None and not isinstance(layout, MXULayout):
-            interpret = jax.default_backend() == "cpu"
         fuse_names = [n for n in names if _fusable(n)]
         if fuse_names:
             fused = _fused_aggregate(fuse_names, ctx, msg, h_in, layout,
-                                     interpret, compute_dtype)
+                                     compute_dtype)
     outs = [fused[n] if n in fused else _agg_xla(n, ctx, msg, h_in)
             for n in names]
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]

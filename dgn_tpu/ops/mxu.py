@@ -74,14 +74,6 @@ class MXULayout:
     node_chunk_graph: Optional[jax.Array]
     n_node_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_graph_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
-    # --- fused Pallas SpMM kernel extras (ops/pallas/fused_spmm.py) ---
-    # chunk visit order for the backward pass (sorted by src block, so dg
-    # accumulation revisits each output block contiguously), and which node
-    # blocks are touched at all (untouched blocks are zeroed outside the
-    # kernel — Pallas output buffers start uninitialized).
-    src_order: Optional[jax.Array] = None      # [C] int32
-    dst_covered: Optional[jax.Array] = None    # [nb] bool
-    src_covered: Optional[jax.Array] = None    # [nb] bool
     # --- block-adjacency extras (aggregators.aggregate_decomposed) ---
     # distinct (src_block, dst_block) pairs touched by any chunk, sorted
     # dst-major; with them the decomposed edge stage becomes a batched dense
@@ -152,10 +144,6 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
         raise ValueError("node's graph outside its chunk's graph block")
 
     nb = n_pad // TILE
-    dst_cov = np.zeros(nb, bool)
-    dst_cov[chunk_dst] = True
-    src_cov = np.zeros(nb, bool)
-    src_cov[chunk_src] = True
     # distinct (src_block, dst_block) pairs, dst-major so a pair->dst-block
     # segment reduction sees non-decreasing ids.  The pair axis is PADDED to
     # n_pairs_pad (a loader-stable bound) because n_pairs is static pytree
@@ -189,10 +177,6 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
         node_chunk_graph=jnp.asarray(chunk_graph),
         n_node_blocks=nb,
         n_graph_blocks=g_pad // TILE,
-        src_order=jnp.asarray(
-            np.argsort(chunk_src, kind="stable").astype(np.int32)),
-        dst_covered=jnp.asarray(dst_cov),
-        src_covered=jnp.asarray(src_cov),
         chunk_pair=jnp.asarray(chunk_pair.astype(np.int32)),
         pair_src=jnp.asarray(pair_src),
         pair_dst=jnp.asarray(pair_dst),
@@ -271,11 +255,6 @@ def build_mxu_layout_ep(src: np.ndarray, dst: np.ndarray,
     pair_covered = np.zeros(n_pairs, bool)
     pair_covered[new_id] = True
     pair_chunk_order = np.argsort(chunk_pair, kind="stable").astype(np.int32)
-
-    dst_cov = np.zeros(nb, bool)
-    dst_cov[chunk_dst] = True
-    src_cov = np.zeros(nb, bool)
-    src_cov[chunk_src] = True
     return MXULayout(
         local_src=jnp.asarray(local_src),
         local_dst=jnp.asarray(local_dst),
@@ -285,10 +264,6 @@ def build_mxu_layout_ep(src: np.ndarray, dst: np.ndarray,
         node_chunk_graph=None,
         n_node_blocks=nb,
         n_graph_blocks=0,
-        src_order=jnp.asarray(
-            np.argsort(chunk_src, kind="stable").astype(np.int32)),
-        dst_covered=jnp.asarray(dst_cov),
-        src_covered=jnp.asarray(src_cov),
         chunk_pair=jnp.asarray(chunk_pair),
         pair_src=jnp.asarray(pair_src),
         pair_dst=jnp.asarray(pair_dst),

@@ -301,7 +301,7 @@ def partition_batch(graphs: Sequence[GraphData], n_shards: int,
         graph_mask=stk("graph_mask"), n_nodes=stk("n_nodes"),
         n_edges=stk("n_edges"), labels=stk("labels"),
         node_labels=stk("node_labels"), pos_enc=stk("pos_enc"),
-        kernel_layout=None, halo=halo_spec, mxu=mxu_stacked)
+        halo=halo_spec, mxu=mxu_stacked)
 
 
 def _peel(tree):

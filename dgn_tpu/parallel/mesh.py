@@ -15,6 +15,29 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> tuple[int, int]:
+    """Join the multi-host JAX runtime (SURVEY.md §2b: the multi-host
+    orchestration primitive) — MUST run before any other JAX call so every
+    host sees the pod's global device set.
+
+    On TPU pods all three arguments auto-detect from the TPU metadata
+    (jax.distributed.initialize() with no args); on other platforms pass the
+    coordinator 'host:port', the world size, and this host's rank.  Returns
+    (process_index, process_count).  run.py exposes this as --multihost.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("dp",),
               shape: Optional[Sequence[int]] = None) -> Mesh:

@@ -214,13 +214,62 @@ def run_collab(cfg):
 
 def run(argv=None):
     from .config import config_from_args
-    from .train.checkpoint import Checkpointer
 
     cfg, args = config_from_args(argv)
+    if getattr(args, "multihost", False):
+        # must precede every other JAX call (incl. device queries below)
+        from .parallel.mesh import init_multihost
+        pid, pcount = init_multihost(args.coordinator_address,
+                                     args.num_processes, args.process_id)
+        import jax
+        print(f"[dgn_tpu] multihost: process {pid}/{pcount}, "
+              f"{jax.device_count()} global devices")
     if cfg.task == "collab":
         return run_collab(cfg)
-    n_devices = args.n_devices or 1
+    if getattr(args, "multihost", False) and args.n_devices is None:
+        import jax
+        n_devices = jax.device_count()      # the pod's global device set
+    else:
+        n_devices = args.n_devices or 1
     partition = getattr(args, "partition", "dp")
+    if getattr(args, "seeds", None):
+        seeds = [int(s) for s in args.seeds.split(",")]
+        return run_seeds(cfg, args, seeds, n_devices, partition)
+    return run_one(cfg, args, n_devices, partition)
+
+
+def run_seeds(cfg, args, seeds, n_devices, partition):
+    """Multi-seed protocol: the reference reports mean±std over 4 seeds
+    (reference realworld_benchmark/README.md:32 comparison table; seeds set
+    per run via params.seed).  One command yields the table row."""
+    import dataclasses as dc
+    import os
+
+    reports = []
+    for s in seeds:
+        c = dc.replace(cfg, params=dc.replace(cfg.params, seed=s),
+                       out_dir=os.path.join(cfg.out_dir, f"seed{s}"))
+        print(f"[dgn_tpu] ==== seed {s} ====")
+        reports.append(run_one(c, args, n_devices, partition))
+    agg = {}
+    test0 = reports[0].get("test_at_best_val") or {}
+    for k in ("mae", "acc", "rocauc", "ap"):
+        if k not in test0:
+            continue
+        vals = [r["test_at_best_val"][k] for r in reports]
+        agg[k] = {"mean": float(np.mean(vals)), "std": float(np.std(vals))}
+        print(f"[dgn_tpu] TEST {k.upper()}: {np.mean(vals):.4f} "
+              f"± {np.std(vals):.4f} ({len(seeds)} seeds)")
+    out = {"dataset": cfg.dataset, "seeds": seeds,
+           "test_at_best_val": agg,
+           "per_seed": [r.get("test_at_best_val") for r in reports]}
+    print("[dgn_tpu] SEEDS " + json.dumps(out, default=float))
+    return out
+
+
+def run_one(cfg, args, n_devices, partition):
+    from .train.checkpoint import Checkpointer
+
     print(f"[dgn_tpu] dataset={cfg.dataset} task={cfg.task} "
           f"n_devices={n_devices} partition={partition} "
           f"layout={resolve_layout(cfg.data.layout, n_devices, partition)}")

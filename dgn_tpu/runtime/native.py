@@ -26,7 +26,6 @@ _tried = False
 _i32 = ctypes.POINTER(ctypes.c_int32)
 _u8 = ctypes.POINTER(ctypes.c_uint8)
 _f32 = ctypes.POINTER(ctypes.c_float)
-_i64 = ctypes.POINTER(ctypes.c_int64)
 
 
 def _build() -> Optional[str]:
@@ -58,11 +57,6 @@ def _load():
             ctypes.c_int32, _i32, _i32, _i32, _i32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             _i32, _i32, _i32, _u8, _f32, _i32, _u8, _f32, _i32]
-        lib.dgn_block_layout.restype = ctypes.c_int
-        lib.dgn_block_layout.argtypes = [
-            _i32, _u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int64,
-            _i32, _u8, _i32, _i32, _u8, _i64, _i64]
         _lib = lib
         return _lib
 
@@ -112,35 +106,3 @@ def pack_edges(n_nodes: np.ndarray, n_edges: np.ndarray,
                 edge_mask=edge_mask.astype(bool), snorm_e=snorm_e[:, None],
                 node_graph=node_graph, node_mask=node_mask.astype(bool),
                 snorm_n=snorm_n[:, None], in_degree=in_degree)
-
-
-def block_layout(dst: np.ndarray, edge_mask: np.ndarray, n_pad: int,
-                 tile_n: int, e_chunk: int):
-    """Native chunked re-packing for the Pallas fused segment kernel."""
-    lib = _load()
-    assert lib is not None
-    dst = np.ascontiguousarray(dst, np.int32)
-    em = np.ascontiguousarray(edge_mask, np.uint8)
-    e_pad = len(dst)
-    n_blocks = (n_pad + tile_n - 1) // tile_n
-    cap = ((int(em.sum()) + n_blocks * (e_chunk - 1) + e_chunk - 1)
-           // e_chunk) * e_chunk
-    cap = max(cap, e_chunk)
-    perm = np.empty(cap, np.int32)
-    valid = np.empty(cap, np.uint8)
-    ldst = np.empty(cap, np.int32)
-    chunk_block = np.empty(cap // e_chunk, np.int32)
-    visited = np.empty(n_blocks, np.uint8)
-    e_packed = np.zeros(1, np.int64)
-    n_chunks = np.zeros(1, np.int64)
-    rc = lib.dgn_block_layout(
-        _p(dst, _i32), _p(em, _u8), e_pad, n_pad, tile_n, e_chunk, cap,
-        _p(perm, _i32), _p(valid, _u8), _p(ldst, _i32),
-        _p(chunk_block, _i32), _p(visited, _u8),
-        _p(e_packed, _i64), _p(n_chunks, _i64))
-    if rc != 0:
-        raise ValueError("block layout capacity overflow (native)")
-    ep = int(e_packed[0])
-    nc = int(n_chunks[0])
-    return (perm[:ep], valid[:ep].astype(bool), ldst[:ep],
-            chunk_block[:nc], visited.astype(bool))

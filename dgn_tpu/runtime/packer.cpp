@@ -1,4 +1,4 @@
-// dgn_tpu native runtime: graph batch packer + Pallas block-layout builder.
+// dgn_tpu native runtime: graph batch packer.
 //
 // The training input pipeline packs thousands of small graphs per step into
 // one fixed-shape batch (the moral equivalent of the reference's dgl.batch +
@@ -6,8 +6,7 @@
 // whose heavy lifting lived in DGL's C++ core).  This is the TPU framework's
 // own native core: one pass over the edge lists producing globally-offset,
 // (dst, src)-lexicographically sorted COO with masks, size-normalizers and
-// in-degrees, plus the chunked edge re-packing consumed by the Pallas fused
-// segment kernel (dgn_tpu/ops/pallas/segment_kernels.py).
+// in-degrees.
 //
 // Sorting is two stable counting sorts (src then dst): O(E + N), no
 // comparisons — vs the numpy lexsort O(E log E) path in graph.py, and
@@ -123,68 +122,6 @@ int dgn_pack(int32_t g, const int32_t* n_nodes, const int32_t* n_edges,
       snorm_e[s] = 0.0f;
     }
   }
-  return 0;
-}
-
-// Re-pack dst-sorted edges so each tile_n-node block owns whole e_chunk-edge
-// chunks (the Pallas fused-kernel layout; mirrors build_block_layout in
-// dgn_tpu/ops/pallas/segment_kernels.py but in one O(E + blocks) pass).
-// Caller allocates perm/slot_valid/local_dst at worst case
-//   cap = e_real_max + n_blocks*(e_chunk-1)  (rounded up to e_chunk)
-// and chunk_block at cap/e_chunk.  Returns 0 on success; outputs actual
-// packed length and chunk count.
-int dgn_block_layout(const int32_t* dst, const uint8_t* edge_mask,
-                     int64_t e_pad, int64_t n_pad, int32_t tile_n,
-                     int32_t e_chunk, int64_t cap,
-                     int32_t* perm, uint8_t* slot_valid, int32_t* local_dst,
-                     int32_t* chunk_block, uint8_t* block_visited,
-                     int64_t* e_packed_out, int64_t* n_chunks_out) {
-  const int64_t n_blocks = (n_pad + tile_n - 1) / tile_n;
-  std::vector<int64_t> bcount(n_blocks, 0);
-  for (int64_t e = 0; e < e_pad; ++e)
-    if (edge_mask[e]) bcount[dst[e] / tile_n]++;
-
-  // padded sizes + offsets
-  std::vector<int64_t> boff(n_blocks + 1, 0);
-  for (int64_t b = 0; b < n_blocks; ++b) {
-    int64_t padded =
-        bcount[b] ? ((bcount[b] + e_chunk - 1) / e_chunk) * e_chunk : 0;
-    boff[b + 1] = boff[b] + padded;
-  }
-  int64_t e_packed = boff[n_blocks];
-  if (e_packed == 0) e_packed = e_chunk;  // degenerate: one masked chunk
-  if (e_packed > cap) return 1;
-
-  for (int64_t s = 0; s < e_packed; ++s) {
-    perm[s] = 0;
-    slot_valid[s] = 0;
-    local_dst[s] = 0;
-  }
-  std::vector<int64_t> cursor(boff.begin(), boff.end() - 1);
-  // dst-sorted input: edges of a block are contiguous, but walk generally
-  for (int64_t e = 0; e < e_pad; ++e) {
-    if (!edge_mask[e]) continue;
-    const int64_t b = dst[e] / tile_n;
-    const int64_t s = cursor[b]++;
-    perm[s] = (int32_t)e;
-    slot_valid[s] = 1;
-    local_dst[s] = dst[e] - (int32_t)(b * tile_n);
-  }
-  const int64_t n_chunks = e_packed / e_chunk;
-  for (int64_t b = 0; b < n_blocks; ++b) block_visited[b] = 0;
-  if (boff[n_blocks] == 0) {
-    chunk_block[0] = 0;
-    block_visited[0] = 1;
-  } else {
-    for (int64_t b = 0; b < n_blocks; ++b) {
-      for (int64_t c = boff[b] / e_chunk; c < boff[b + 1] / e_chunk; ++c) {
-        chunk_block[c] = (int32_t)b;
-        block_visited[b] = 1;
-      }
-    }
-  }
-  *e_packed_out = e_packed;
-  *n_chunks_out = n_chunks;
   return 0;
 }
 

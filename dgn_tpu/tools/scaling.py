@@ -12,6 +12,24 @@ Timing is K steps inside ONE jit (lax.scan) with a scalar fetch — the method
 that stays honest through the axon TPU tunnel (see bench.py).  Efficiency is
 t_1 / (N * t_N); 1.0 = perfect strong scaling.
 
+Because this sandbox has one real chip, measured multi-device numbers only
+exist on the shared-host virtual CPU mesh (where "efficiency" measures host
+contention, not ICI).  Each row therefore ALSO carries an ANALYTIC model,
+host-computable exactly:
+  comm_bytes_per_step — dp: ring all-reduce of the gradients,
+                        2*params*4*(N-1)/N bytes through each chip;
+                        ep: per layer, each shard ships its send_idx rows
+                        (N*S*hidden floats) out and receives as many in,
+                        forward AND backward (the all_to_all transpose),
+                        plus the readout-pool psums.
+  predicted_efficiency — t1/N / (t1/N + comm_bytes/ici_bw): the no-overlap
+                        lower bound with compute from the measured 1-device
+                        step.  --ici_bw sets the per-chip ICI budget
+                        (default 9e10 B/s ~ a v5e 1D ring direction pair);
+                        the EP path's interior/boundary split (layers/dgn.py)
+                        is designed to hide part of the comm term, so real
+                        pods should land between predicted and 1.0.
+
 Run anywhere:
   real pod      python -m dgn_tpu.tools.scaling --devices 1,2,4,8
   virtual mesh  JAX_PLATFORMS=cpu \
@@ -130,9 +148,40 @@ def measure_ep(n: int, batch: int, hidden: int, L: int, steps: int) -> float:
     return _time_steps(trainer, state, pb, steps)
 
 
+def comm_model(part: str, n: int, batch: int, hidden: int, L: int) -> int:
+    """EXACT host-computed communication volume (bytes through each chip per
+    train step) for the partition strategy — no device work needed."""
+    if n <= 1:
+        return 0
+    if part == "dp":
+        # ring all-reduce of f32 gradients: each chip sends and receives
+        # 2*(N-1)/N of the parameter bytes (reduce-scatter + all-gather)
+        import jax
+
+        from ..graph import pack_graphs
+        model, _, graphs, _ = _flagship(min(batch, 8), hidden, L, None)
+        gb = pack_graphs(graphs[:4], g_pad=4)
+        variables = model.init(jax.random.PRNGKey(0), gb, deterministic=True)
+        n_params = sum(int(np.prod(np.shape(p))) for p in
+                       jax.tree_util.tree_leaves(variables["params"]))
+        return int(2 * n_params * 4 * (n - 1) / n)
+    if part == "ep":
+        # per layer: ship send_idx rows out + receive the halo in (fwd), and
+        # the same volume back through the all_to_all transpose (bwd); plus
+        # L+1 psums of the per-graph readout/VN pools
+        from ..parallel.halo import partition_batch
+        model, _, graphs, _ = _flagship(batch, hidden, L, None)
+        pb = partition_batch(graphs, n, g_pad=batch)
+        s_max = int(pb.halo.send_idx.shape[-1])
+        per_layer = 2 * (n * s_max * hidden * 4)       # out + in, f32
+        pool = 2 * batch * hidden * 4                  # psum'd graph pools
+        return int(L * 2 * per_layer + (L + 1) * pool)
+    raise ValueError(part)
+
+
 def run_scaling(partitions=("dp", "ep"), devices=(1, 2, 4, 8),
                 batch: int = 128, hidden: int = 45, L: int = 4,
-                steps: int = 10, emit=print):
+                steps: int = 10, ici_bw: float = 9e10, emit=print):
     import jax
 
     avail = len(jax.devices())
@@ -147,9 +196,15 @@ def run_scaling(partitions=("dp", "ep"), devices=(1, 2, 4, 8),
             if base is None:
                 base = sec
             eff = base / (n * sec)
+            comm = comm_model(part, n, batch, hidden, L)
+            t_comm = comm / ici_bw
+            pred = (base / n) / (base / n + t_comm) if n > 1 else 1.0
             row = {"metric": f"scaling_{part}", "n_devices": n,
                    "step_ms": round(sec * 1e3, 3),
                    "efficiency": round(eff, 4),
+                   "comm_bytes_per_step": comm,
+                   "predicted_efficiency": round(pred, 4),
+                   "ici_bw": ici_bw,
                    "global_batch": batch, "backend": jax.default_backend()}
             results[(part, n)] = row
             emit(json.dumps(row))
@@ -164,6 +219,9 @@ def main(argv=None):
     ap.add_argument("--hidden", type=int, default=45)
     ap.add_argument("--L", type=int, default=4)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--ici_bw", type=float, default=9e10,
+                    help="per-chip ICI byte/s budget for the analytic "
+                         "predicted_efficiency (default ~v5e 1D ring)")
     ap.add_argument("--backend", default=None,
                     help="force a jax platform (e.g. 'cpu' for the virtual "
                          "mesh) — needed because the axon TPU plugin pins "
@@ -175,7 +233,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", a.backend)
     run_scaling(tuple(a.partition.split(",")),
                 tuple(int(x) for x in a.devices.split(",")),
-                a.batch, a.hidden, a.L, a.steps)
+                a.batch, a.hidden, a.L, a.steps, ici_bw=a.ici_bw)
 
 
 if __name__ == "__main__":

@@ -28,10 +28,8 @@ def _batch(layout, n=12, seed=3):
         n_pad, e_pad, g_pad = mxu_bucket_sizes(graphs, n)
         return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
                            mxu_layout=True)
-    kernel = layout == "pallas"
     n_pad, e_pad = bucket_sizes_for(graphs, n)
-    return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=n,
-                       kernel_layout=kernel)
+    return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=n)
 
 
 def _compare(gb, **cfg_kw):
@@ -90,27 +88,6 @@ def test_single_scaler_hiv_shape():
     # HIV config: simple net, identity scaler only (scaling skipped)
     _compare(_batch("flat"), type_net="simple",
              aggregators="mean max min dir1-dx dir1-av", scalers="identity")
-
-
-def test_pallas_kernel_layout():
-    _compare(_batch("pallas"), type_net="complex",
-             aggregators="mean dir1-dx dir1-av")
-
-
-def test_fused_spmm_kernel(monkeypatch):
-    """Fully-fused Pallas SpMM kernel (interpret mode) == legacy, incl. grads."""
-    from dgn_tpu.ops import aggregators as agg_ops
-    monkeypatch.setattr(agg_ops, "USE_FUSED_SPMM", True)
-    _compare(_batch("mxu"), type_net="complex",
-             aggregators="mean dir1-dx dir1-av")
-
-
-def test_fused_spmm_kernel_edge_feat(monkeypatch):
-    from dgn_tpu.ops import aggregators as agg_ops
-    monkeypatch.setattr(agg_ops, "USE_FUSED_SPMM", True)
-    _compare(_batch("mxu"), type_net="complex",
-             aggregators="mean dir1-dx dir1-av",
-             edge_feat=True, edge_dim=20, num_edge_types=4)
 
 
 def test_param_tree_identical():

@@ -32,18 +32,6 @@ def test_native_matches_python(gen, kw):
     _compare(a, b)
 
 
-def test_native_kernel_layout_matches_python():
-    graphs = synthetic.synthetic_zinc(12, seed=5)
-    a = pack_graphs(graphs, n_pad=512, e_pad=1024, kernel_layout=True,
-                    native=False)
-    b = pack_graphs(graphs, n_pad=512, e_pad=1024, kernel_layout=True,
-                    native=True)
-    _compare(a.kernel_layout, b.kernel_layout)
-    assert a.kernel_layout.n_blocks == b.kernel_layout.n_blocks
-    assert a.kernel_layout.e_packed == b.kernel_layout.e_packed
-    _compare(a, b)
-
-
 def test_native_overflow_raises():
     graphs = synthetic.synthetic_zinc(4, seed=1)
     with pytest.raises(ValueError):
@@ -69,12 +57,12 @@ def test_native_speedup_large_batch():
     graphs = synthetic.synthetic_zinc(512, seed=7)
     for native in (True, False):   # warm both paths
         pack_graphs(graphs, n_pad=16384, e_pad=32768, g_pad=512,
-                    native=native, kernel_layout=True)
+                    native=native)
     t = {}
     for native in (True, False):
         t0 = time.perf_counter()
         for _ in range(3):
             pack_graphs(graphs, n_pad=16384, e_pad=32768, g_pad=512,
-                        native=native, kernel_layout=True)
+                        native=native)
         t[native] = time.perf_counter() - t0
     assert t[True] < t[False] * 1.5, t

@@ -142,7 +142,8 @@ def measure_ep(n: int, batch: int, hidden: int, L: int, steps: int) -> float:
         state = trainer.init_state(gb)
         return _time_steps(trainer, state, gb, steps)
     mesh = make_mesh(n, ("ep",))
-    pb = partition_batch(graphs, n, g_pad=batch)
+    # shipped EP layout: shard-local MXU blocks + interior/boundary overlap
+    pb = partition_batch(graphs, n, g_pad=batch, layout="mxu")
     trainer = EdgeParallelTrainer(model, loss_fn, params, mesh, task="zinc")
     state = trainer.init_state(pb)
     return _time_steps(trainer, state, pb, steps)

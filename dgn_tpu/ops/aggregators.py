@@ -560,6 +560,15 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
     has_edge = (deg > 0)[:, None]
     q = q_node
 
+    # max+min together: one scatter pass over [ge, -ge] instead of two —
+    # these scatters dominate the HIV/PCBA configs (segment.segment_extremes
+    # docstring has the measurements and the tie-gradient semantics)
+    ext = None
+    if "max" in names and "min" in names:
+        ext = segment.segment_extremes(ge, ctx.dst, ctx.num_nodes,
+                                       ctx.edge_mask,
+                                       indices_are_sorted=ctx.sorted_dst)
+
     outs = []
     for name in names:
         if name == "sum":
@@ -575,9 +584,13 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
             var = jax.nn.relu(m2 - m1 * m1)
             outs.append(var if name == "var" else jnp.sqrt(var + EPS))
         elif name in ("max", "min"):
-            op = segment.segment_max if name == "max" else segment.segment_min
-            s = op(ge, ctx.dst, ctx.num_nodes, ctx.edge_mask,
-                   indices_are_sorted=ctx.sorted_dst)
+            if ext is not None:
+                s = ext[0] if name == "max" else ext[1]
+            else:
+                op = (segment.segment_max if name == "max"
+                      else segment.segment_min)
+                s = op(ge, ctx.dst, ctx.num_nodes, ctx.edge_mask,
+                       indices_are_sorted=ctx.sorted_dst)
             val = s + q if q is not None else s
             outs.append(jnp.where(has_edge, val, 0.0))
         else:

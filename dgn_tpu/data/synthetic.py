@@ -164,6 +164,7 @@ def synthetic_ogb_mol(num_graphs: int, seed: int = 0, n_tasks: int = 1,
     from ..models.encoders import ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS
     rng = np.random.default_rng(seed)
     out = []
+    scores = []
     for _ in range(num_graphs):
         n = int(rng.integers(10, 40))
         src, dst = _random_molecule_graph(rng, n)
@@ -175,16 +176,22 @@ def synthetic_ogb_mol(num_graphs: int, seed: int = 0, n_tasks: int = 1,
         bond = np.concatenate([bond_u, bond_u]).astype(np.int32)
         eig = spectral.graph_eig(n, src, dst, k_eig, norm)
         deg = np.bincount(dst, minlength=n)
-        score = deg.mean() + atom[:, 0].mean() * 0.3 + n * 0.02
-        if n_tasks == 1:
-            label = np.array([float(score > 2.8)], np.float32)
-        else:
-            thr = np.linspace(2.2, 3.4, n_tasks)
-            label = (score > thr).astype(np.float32)
-            if nan_frac > 0:
-                label[rng.random(n_tasks) < nan_frac] = np.nan
+        scores.append(deg.mean() + atom[:, 0].mean() * 0.3 + n * 0.02)
         out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=atom,
-                             eig=eig, edge_feat=bond, label=label))
+                             eig=eig, edge_feat=bond, label=None))
+    # threshold at empirical quantiles so labels are BALANCED within any
+    # split (a fixed absolute threshold made >99% of graphs positive,
+    # degenerating ROC-AUC/AP on small synthetic splits)
+    scores = np.asarray(scores)
+    if n_tasks == 1:
+        thr = np.quantile(scores, 0.5)[None]
+    else:
+        thr = np.quantile(scores, np.linspace(0.25, 0.75, n_tasks))
+    for g, sc in zip(out, scores):
+        label = (sc > thr).astype(np.float32)
+        if n_tasks > 1 and nan_frac > 0:
+            label[rng.random(n_tasks) < nan_frac] = np.nan
+        g.label = label
     return out
 
 

@@ -123,6 +123,21 @@ def time_train(trainer, gb):
     return step_s, run, state, rng
 
 
+def compiled_costs(run, state, rng, step_s):
+    """(mfu, bytes/step, flops/step) from the compiled program, or Nones."""
+    mfu = bytes_step = flops_step = None
+    try:
+        ca = run.lower(state, rng, STEPS_HI).compile().cost_analysis()
+        if ca and ca.get("flops"):
+            flops_step = float(ca["flops"]) / STEPS_HI
+            mfu = flops_step / step_s / V5E_BF16_PEAK
+        if ca and ca.get("bytes accessed"):
+            bytes_step = float(ca["bytes accessed"]) / STEPS_HI
+    except Exception:
+        pass
+    return mfu, bytes_step, flops_step
+
+
 # ================================================================ workloads
 
 def build_graphs(batch=BATCH, seed=41):
@@ -172,17 +187,7 @@ def time_layout(layout, graphs, avg_d, real_edges):
     gb = pack(graphs, "mxu" if layout == "mxu_legacy" else layout)
     trainer = make_zinc_trainer(gb, avg_d, layout)
     step_s, run, state, rng = time_train(trainer, gb)
-
-    mfu = bytes_step = flops_step = None
-    try:
-        ca = run.lower(state, rng, STEPS_HI).compile().cost_analysis()
-        if ca and ca.get("flops"):
-            flops_step = float(ca["flops"]) / STEPS_HI
-            mfu = flops_step / step_s / V5E_BF16_PEAK
-        if ca and ca.get("bytes accessed"):
-            bytes_step = float(ca["bytes accessed"]) / STEPS_HI
-    except Exception:
-        pass
+    mfu, bytes_step, flops_step = compiled_costs(run, state, rng, step_s)
     return real_edges / step_s, step_s * 1e3, mfu, bytes_step, flops_step
 
 
@@ -260,13 +265,7 @@ def bench_pcba():
                       TrainParams(seed=41, init_lr=1e-2, weight_decay=3e-6),
                       task="pcba", donate=False)
     step_s, run, state, rng = time_train(trainer, gb)
-    mfu = None
-    try:
-        ca = run.lower(state, rng, STEPS_HI).compile().cost_analysis()
-        if ca and ca.get("flops"):
-            mfu = float(ca["flops"]) / STEPS_HI / step_s / V5E_BF16_PEAK
-    except Exception:
-        pass
+    mfu, _, _ = compiled_costs(run, state, rng, step_s)
     return real_edges / step_s, step_s * 1e3, mfu
 
 
@@ -293,13 +292,7 @@ def bench_fat(graphs, real_edges):
                       TrainParams(seed=41, init_lr=1e-3, weight_decay=3e-6),
                       task="zinc", donate=False)
     step_s, run, state, rng = time_train(trainer, gb)
-    mfu = None
-    try:
-        ca = run.lower(state, rng, STEPS_HI).compile().cost_analysis()
-        if ca and ca.get("flops"):
-            mfu = float(ca["flops"]) / STEPS_HI / step_s / V5E_BF16_PEAK
-    except Exception:
-        pass
+    mfu, _, _ = compiled_costs(run, state, rng, step_s)
     return real_edges / step_s, step_s * 1e3, mfu
 
 

@@ -512,16 +512,20 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
             else:
                 gp = g_node.reshape(nb, mxu.TILE, f)[layout.pair_src]
                 T = mxu.pair_adj_matmul(W, gp, compute_dtype)  # [P,K,t,F]
+                # EP layouts order pairs [interior | boundary]: each group
+                # is dst-major but their concatenation is NOT sorted
+                srt = layout.n_pairs_int is None
                 Sb = jax.ops.segment_sum(T, layout.pair_dst, nb,
-                                         indices_are_sorted=True)  # [nb,K,t,F]
+                                         indices_are_sorted=srt)  # [nb,K,t,F]
             Sb = Sb.transpose(1, 0, 2, 3).reshape(len(full_keys), -1, f)
             for i, k in enumerate(full_keys):
                 S[k] = Sb[i][:ctx.num_nodes]
             if need_sq:          # c_edge is None here (see use_adj)
                 T2 = mxu.pair_adj_matmul(ctx.fam_adj["one"][:, None],
                                          gp * gp, compute_dtype)
-                S2 = jax.ops.segment_sum(T2[:, 0], layout.pair_dst, nb,
-                                         indices_are_sorted=True)
+                S2 = jax.ops.segment_sum(
+                    T2[:, 0], layout.pair_dst, nb,
+                    indices_are_sorted=layout.n_pairs_int is None)
                 S["one"] = jnp.concatenate(
                     [S["one"], S2.reshape(-1, f)[:ctx.num_nodes]], axis=1)
             if c_edge is not None:

@@ -242,6 +242,7 @@ def run_seeds(cfg, args, seeds, n_devices, partition):
     """Multi-seed protocol: the reference reports mean±std over 4 seeds
     (reference realworld_benchmark/README.md:32 comparison table; seeds set
     per run via params.seed).  One command yields the table row."""
+    import argparse
     import dataclasses as dc
     import os
 
@@ -249,17 +250,26 @@ def run_seeds(cfg, args, seeds, n_devices, partition):
     for s in seeds:
         c = dc.replace(cfg, params=dc.replace(cfg.params, seed=s),
                        out_dir=os.path.join(cfg.out_dir, f"seed{s}"))
+        # seeds must not share checkpoint state (a shared dir would make
+        # --resume restore seed i's weights into seed i+1's run)
+        a = argparse.Namespace(**vars(args))
+        if getattr(args, "checkpoint", None):
+            a.checkpoint = os.path.join(args.checkpoint, f"seed{s}")
         print(f"[dgn_tpu] ==== seed {s} ====")
-        reports.append(run_one(c, args, n_devices, partition))
+        reports.append(run_one(c, a, n_devices, partition))
     agg = {}
-    test0 = reports[0].get("test_at_best_val") or {}
+    # a seed can legally finish without a best-val record (interrupt before
+    # the first val eval) — aggregate over the seeds that have one
+    done = [(s, r["test_at_best_val"]) for s, r in zip(seeds, reports)
+            if r.get("test_at_best_val")]
+    keys = set().union(*(set(t) for _, t in done)) if done else set()
     for k in ("mae", "acc", "rocauc", "ap"):
-        if k not in test0:
+        if k not in keys:
             continue
-        vals = [r["test_at_best_val"][k] for r in reports]
+        vals = [t[k] for _, t in done if k in t]
         agg[k] = {"mean": float(np.mean(vals)), "std": float(np.std(vals))}
         print(f"[dgn_tpu] TEST {k.upper()}: {np.mean(vals):.4f} "
-              f"± {np.std(vals):.4f} ({len(seeds)} seeds)")
+              f"± {np.std(vals):.4f} ({len(vals)}/{len(seeds)} seeds)")
     out = {"dataset": cfg.dataset, "seeds": seeds,
            "test_at_best_val": agg,
            "per_seed": [r.get("test_at_best_val") for r in reports]}

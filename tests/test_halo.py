@@ -320,3 +320,28 @@ def test_boundary_exchange_matches_all_gather_and_shrinks_traffic():
     # traffic: P x S rows vs P x n_local rows
     s_max = spec.send_idx.shape[-1]
     assert N_DEV * s_max < n_local, (s_max, n_local)
+
+
+def test_ep_mxu_var_std_matches_single():
+    """var/std under EP-MXU demote the interior/boundary split and take the
+    non-split adjacency path, whose pair_dst segment sums must NOT claim
+    sortedness (EP pair order is [interior | boundary] — each group sorted,
+    the concatenation not).  Regression for the round-4 review finding."""
+    graphs = synthetic.synthetic_zinc(10, seed=13)
+    cfg = DGNConfig(hidden_dim=10, out_dim=10, L=2, type_net="complex",
+                    aggregators="mean var std dir1-dx",
+                    scalers="identity amplification attenuation",
+                    avg_d={"log": 1.1, "lin": 2.2})
+    cfg_ep = dataclasses.replace(cfg, bn_axis="ep")
+    model, loss_fn = zinc_model(cfg)
+    model_ep, _ = zinc_model(cfg_ep)
+    gb = pack_graphs(graphs, g_pad=10)
+    pb = partition_batch(graphs, N_DEV, g_pad=10, layout="mxu")
+    v = model.init(jax.random.PRNGKey(5), gb, deterministic=True)
+    want = model.apply(v, gb, deterministic=True)
+    trainer = EdgeParallelTrainer(model_ep, loss_fn, TrainParams(),
+                                  _mesh(), task="zinc")
+    got, _ = jax.jit(trainer._fwd_eval)(v["params"],
+                                        v.get("batch_stats", {}), pb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

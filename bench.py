@@ -24,17 +24,25 @@ Sections of `detail`:
                 XLA lowerings were deleted in round 4; the one shipped Pallas
                 kernel (adjacency-block build, ops/pallas/adjacency.py) is
                 A/B'd in `adjacency_kernel`.
-  batch_sweep — headline layout at batch 1024 -> 8192: edges/s asymptote
-                (the once-per-step context build + fixed overheads amortize;
-                the asymptote is the honest throughput of a saturated chip).
+  batch_sweep — headline layout at batch 1024/2048/8192.  Round-4 finding:
+                per-edge cost RISES with batch (adjacency-block traffic and
+                per-op constants grow while nothing amortizes — RESULTS.md
+                stage accounting); the sweep records that trend and
+                asymptote_edges_per_s is simply the best point.
   roofline    — compiled bytes-accessed and flops per step vs the v5e HBM
                 (~819 GB/s) and bf16-MXU (~197 TFLOP/s) ceilings: which bound
-                applies and how far the measured step sits from it.
+                applies and how far the measured step sits from it (the
+                canonical config is OVERHEAD-bound, ~53x off the HBM bound).
   pattern_mxu — SBM-PATTERN-shaped batch (graphs wider than one 128-node
                 block -> cross-block adjacency pairs).
   pcba_mxu    — the biggest published workload (ogbg-molpcba config: simple,
                 hidden 70, batch 2048, virtual node,
-                configs/molecules_graph_classification_DGN_PCBA.json).
+                configs/molecules_graph_classification_DGN_PCBA.json);
+                dominated by the max/min extremes scatter (joint pass,
+                ops/segment.py:segment_extremes).
+  zinc_hidden128 — ZINC net widened to fill the MXU lanes (hidden 45 uses
+                45/128): the achievable-MFU context for the tiny canonical
+                config's number.
   adjacency_kernel — build_pair_adjacency Pallas kernel vs its XLA lowering
                 (same inputs, same slope harness), fwd-only.
 

@@ -277,7 +277,7 @@ def bench_pcba():
     return real_edges / step_s, step_s * 1e3, mfu
 
 
-def bench_fat(graphs, real_edges):
+def bench_fat(graphs, avg_d, real_edges):
     """ZINC net at hidden 128 — fills the MXU lanes the canonical hidden-45
     config wastes (45/128).  The roofline says the small-model step is
     overhead-bound, so widening the model should raise MFU far more than it
@@ -285,16 +285,13 @@ def bench_fat(graphs, real_edges):
     canonical config's 0.05% lacks."""
     import jax
     from dgn_tpu.models import DGNConfig, zinc_model
-    from dgn_tpu.ops.scalers import degree_stats
     from dgn_tpu.train.trainer import TrainParams, Trainer
 
-    degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
-                           for g in graphs])
     gb = pack(graphs, "mxu")
     cfg = DGNConfig(hidden_dim=128, out_dim=128, L=L, type_net="complex",
                     aggregators="mean dir1-dx dir1-av",
                     scalers="identity amplification attenuation",
-                    avg_d=degree_stats(degs), compute_dtype="bfloat16")
+                    avg_d=avg_d, compute_dtype="bfloat16")
     model, loss_fn = zinc_model(cfg)
     trainer = Trainer(model, loss_fn,
                       TrainParams(seed=41, init_lr=1e-3, weight_decay=3e-6),
@@ -540,7 +537,7 @@ def main():
         log(f"[bench] pcba FAILED: {e}")
 
     try:
-        fat_eps, fat_ms, fat_mfu = bench_fat(graphs, real_edges)
+        fat_eps, fat_ms, fat_mfu = bench_fat(graphs, avg_d, real_edges)
         fat = {"edges_per_s": round(fat_eps, 1), "step_ms": round(fat_ms, 3)}
         if fat_mfu is not None:
             fat["mfu_bf16_peak"] = round(fat_mfu, 5)

@@ -156,6 +156,26 @@ def synthetic_superpixels(num_graphs: int, seed: int = 0, n_classes: int = 10,
     return out
 
 
+_SCORE_PROBE = None
+
+
+def _score_probe(n: int = 2048) -> np.ndarray:
+    """Fixed-seed sample of the synthetic_ogb_mol score distribution —
+    structure only, no eig solve, so it is cheap and computed once."""
+    global _SCORE_PROBE
+    if _SCORE_PROBE is None:
+        rng = np.random.default_rng(123456789)
+        scores = np.empty(n)
+        for i in range(n):
+            nn = int(rng.integers(10, 40))
+            src, dst = _random_molecule_graph(rng, nn)
+            atom0 = rng.integers(0, 8, size=(nn,))
+            deg = np.bincount(dst, minlength=nn)
+            scores[i] = deg.mean() + atom0.mean() * 0.3 + nn * 0.02
+        _SCORE_PROBE = scores
+    return _SCORE_PROBE
+
+
 def synthetic_ogb_mol(num_graphs: int, seed: int = 0, n_tasks: int = 1,
                       k_eig: int = 4, norm: str = "none",
                       nan_frac: float = 0.0) -> List[GraphData]:
@@ -179,14 +199,19 @@ def synthetic_ogb_mol(num_graphs: int, seed: int = 0, n_tasks: int = 1,
         scores.append(deg.mean() + atom[:, 0].mean() * 0.3 + n * 0.02)
         out.append(GraphData(num_nodes=n, src=src, dst=dst, node_feat=atom,
                              eig=eig, edge_feat=bond, label=None))
-    # threshold at empirical quantiles so labels are BALANCED within any
-    # split (a fixed absolute threshold made >99% of graphs positive,
-    # degenerating ROC-AUC/AP on small synthetic splits)
+    # threshold at empirical quantiles so labels are BALANCED (a fixed
+    # absolute threshold made >99% of graphs positive, degenerating
+    # ROC-AUC/AP on small synthetic splits).  The quantiles come from a
+    # large FIXED-seed probe of the score distribution — NOT from this
+    # call's own graphs — so train/val/test splits (separate calls with
+    # different seeds/sizes) share ONE label function instead of each
+    # split relabeling itself around its own small-sample median.
     scores = np.asarray(scores)
+    probe = _score_probe()
     if n_tasks == 1:
-        thr = np.quantile(scores, 0.5)[None]
+        thr = np.quantile(probe, 0.5)[None]
     else:
-        thr = np.quantile(scores, np.linspace(0.25, 0.75, n_tasks))
+        thr = np.quantile(probe, np.linspace(0.25, 0.75, n_tasks))
     for g, sc in zip(out, scores):
         label = (sc > thr).astype(np.float32)
         if n_tasks > 1 and nan_frac > 0:

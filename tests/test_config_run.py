@@ -284,7 +284,7 @@ def test_driver_end_to_end_synthetic(tmp_path):
     assert report2["epochs_run"] == 1      # epochs 0-1 done, only 2 remains
 
 
-def test_multi_seed_protocol():
+def test_multi_seed_protocol(tmp_path):
     """--seeds runs the pipeline per seed and reports mean±std in the
     reference's comparison-table form (VERDICT r3 item 6)."""
     from dgn_tpu.run import run
@@ -292,7 +292,7 @@ def test_multi_seed_protocol():
     r = run(["--dataset", "ZINC", "--synthetic_size", "10", "--epochs", "1",
              "--batch_size", "10", "--hidden_dim", "8", "--out_dim", "8",
              "--L", "1", "--seeds", "41,42",
-             "--out_dir", "/tmp/dgn_seed_test"])
+             "--out_dir", str(tmp_path)])
     assert r["seeds"] == [41, 42]
     agg = r["test_at_best_val"]["mae"]
     assert np.isfinite(agg["mean"]) and np.isfinite(agg["std"])

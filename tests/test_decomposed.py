@@ -37,6 +37,8 @@ def _compare(gb, **cfg_kw):
                scalers="identity amplification attenuation",
                avg_d={"log": 1.2, "lin": 2.0}, readout="mean", n_out=1)
     cfg.update(cfg_kw)
+    has_ties = any(a in cfg.get("aggregators", "").split()
+                   for a in ("max", "min"))
     m_dec = DGNModel(DGNConfig(**cfg, decompose=True))
     m_leg = DGNModel(DGNConfig(**cfg, decompose=False))
     params = m_leg.init(jax.random.PRNGKey(0), gb)
@@ -54,12 +56,14 @@ def _compare(gb, **cfg_kw):
     for a, b in zip(jax.tree_util.tree_leaves(g_leg),
                     jax.tree_util.tree_leaves(g_dec)):
         gs = max(float(jnp.max(jnp.abs(a))), 1e-3)
-        # 2e-3: max/min subgradients split among VALUE-equal argmax edges;
-        # when the two paths compute a message 1 ulp apart near a tie, the
+        # max/min subgradients split among VALUE-equal argmax edges; when
+        # the two paths compute a message 1 ulp apart near a tie, the
         # cotangent hops to a different edge — a knife-edge, not an error
-        # (absolute size stays ~1e-6)
+        # (absolute size stays ~1e-6).  Tie-free families keep the tight
+        # tolerance.
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=0, atol=2e-3 * gs)
+                                   rtol=0,
+                                   atol=(2e-3 if has_ties else 5e-4) * gs)
 
 
 @pytest.mark.parametrize("layout", ["flat", "mxu"])

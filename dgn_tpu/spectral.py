@@ -54,10 +54,12 @@ def laplacian(num_nodes: int, src: np.ndarray, dst: np.ndarray,
 def k_lowest_eigvecs(L: np.ndarray, k: int) -> np.ndarray:
     """First k eigenvectors by ascending eigenvalue (incl. the trivial one).
 
-    Uses the symmetric dense solver; for 'walk' (non-symmetric) L we solve the
-    similar symmetric problem is not exact, so fall back to the general solver
-    and take real parts, mirroring the reference's `np.real(EigVec)`
-    (data/molecules.py:116).
+    Symmetric L ('none'/'sym' Laplacians) uses the symmetric dense solver
+    (exact, unlike the reference's non-symmetric ARPACK driver with loose
+    tolerances, data/molecules.py:114).  The 'walk' Laplacian is genuinely
+    non-symmetric, so it takes scipy's general solver, sorts by the real part
+    of the eigenvalues, and keeps real parts of the eigenvectors — mirroring
+    the reference's `np.real(EigVec)` (data/molecules.py:116).
     """
     n = L.shape[0]
     k = min(k, n)

@@ -205,7 +205,12 @@ def run_scaling(partitions=("dp", "ep"), devices=(1, 2, 4, 8),
                    "efficiency": round(eff, 4),
                    "comm_bytes_per_step": comm,
                    "predicted_efficiency": round(pred, 4),
+                   # predicted_efficiency is the NO-OVERLAP lower bound
+                   # (t1/N)/(t1/N + comm/ici_bw) at the ASSUMED per-chip ICI
+                   # bandwidth below (default ~v5e 1D ring); it is a model,
+                   # not a measurement — real multi-chip numbers need a slice.
                    "ici_bw": ici_bw,
+                   "predicted_model": "no-overlap bound at assumed ici_bw",
                    "global_batch": batch, "backend": jax.default_backend()}
             results[(part, n)] = row
             emit(json.dumps(row))

@@ -128,8 +128,6 @@ class Trainer:
 
         (loss, (scores, new_bs)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
-        if self.mesh is not None:
-            pass  # grads already averaged by pjit partitioning of gb
         state.opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,

@@ -52,6 +52,12 @@ class DataParams:
     #             compile).  ~2x fewer padded edge slots on ZINC-shaped data.
     #   worst   — any-subset bound; every batch fits by construction.
     geometry: str = "typical"
+    # >1: split each train batch into K micro-batches run inside ONE jitted
+    # step with gradient accumulation (exact batch-mean loss semantics,
+    # Trainer._micro_batched).  "auto" = ceil(batch_size/1024) — keeps the
+    # packed step at the measured ~1024-graphs/chip sweet spot (BENCH_r04:
+    # per-edge cost RISES with packed batch size).  Single-device runs only.
+    micro_batches: Any = "auto"
 
 
 @dataclasses.dataclass
@@ -220,6 +226,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--n_buckets", type=int, default=None,
                     help=">1: size-bucketed batching — K tight bucket shapes "
                          "(K compilations) instead of 1 worst-case shape")
+    ap.add_argument("--micro_batches", type=str, default=None,
+                    help="'auto' (default: ceil(batch/1024)), or an int K: "
+                         "run each train batch as K micro-batches inside one "
+                         "jitted step (gradient accumulation, exact "
+                         "batch-mean loss)")
     # runtime
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint dir (enables save + auto-resume)")

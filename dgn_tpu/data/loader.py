@@ -180,8 +180,24 @@ class BatchLoader:
                  n_pad: Optional[int] = None, e_pad: Optional[int] = None,
                  drop_last: bool = False,
                  layout: Optional[str] = None,
-                 geometry: str = "worst"):
+                 geometry: str = "worst",
+                 cache: bool = False,
+                 micro_batches: int = 1):
         """layout: 'flat' (default) | 'mxu' — see graph.pack_graphs.
+
+        cache: unshuffled loaders only — pack each batch ONCE and replay the
+        same GraphBatch objects every epoch.  Saves the host repack AND lets
+        Trainer.evaluate key its edge-context cache on batch identity (eval
+        batches are fixed across epochs; the context is batch-constant).
+
+        micro_batches (K > 1): yield each batch as a LIST of K identically-
+        shaped GraphBatches of ~batch_size/K graphs each (round-robin dealt
+        after size ordering, so sizes balance).  The Trainer runs them inside
+        one jitted step with gradient accumulation (one optimizer update,
+        exact full-batch loss semantics — Trainer._micro_batched).  Why: the
+        packed step's per-edge cost RISES beyond ~1024 graphs/chip
+        (BENCH_r04 batch_sweep), so large configured batches (PCBA's 2048)
+        otherwise run a silently degraded regime.
 
         geometry (used only when n_pad/e_pad are not given explicitly):
           'worst'   — any-subset bound (sum of the batch_size largest graphs);
@@ -206,26 +222,31 @@ class BatchLoader:
         if geometry not in ("worst", "typical"):
             raise ValueError(f"unknown geometry {geometry!r}")
         self.layout = layout
-        self.g_pad = (round_up(batch_size, 128) if layout == "mxu"
-                      else batch_size)
+        self.micro_batches = max(int(micro_batches), 1)
+        # geometry is per MICRO batch (each packed unit holds micro graphs)
+        micro = -(-batch_size // self.micro_batches)
+        self.micro_size = micro
+        self.g_pad = (round_up(micro, 128) if layout == "mxu" else micro)
         self.n_escapes = 0
         if n_pad is None or e_pad is None:
-            if not shuffle:
+            if not shuffle and self.micro_batches == 1:
                 n_pad_auto, e_pad_auto = _exact_geometry(
-                    self.graphs, batch_size, layout)
+                    self.graphs, micro, layout)
             elif geometry == "typical":
                 n_pad_auto, e_pad_auto = typical_bucket_sizes(
-                    self.graphs, batch_size, mxu_layout=layout == "mxu",
+                    self.graphs, micro, mxu_layout=layout == "mxu",
                     seed=seed)
             else:
                 n_pad_auto, e_pad_auto = _worst_geometry(
-                    self.graphs, batch_size, layout)
+                    self.graphs, micro, layout)
             n_pad = n_pad if n_pad is not None else n_pad_auto
             e_pad = e_pad if e_pad is not None else e_pad_auto
         self.n_pad, self.e_pad = n_pad, e_pad
-        self.pair_pad = (mxu_pair_pad(self.graphs, batch_size, n_pad, e_pad)
+        self.pair_pad = (mxu_pair_pad(self.graphs, micro, n_pad, e_pad)
                          if layout == "mxu" else None)
         self.drop_last = drop_last
+        self.cache = cache and not shuffle
+        self._cached: Optional[List[GraphBatch]] = None
         # pack_graphs auto-routes through the native C++ packer (runtime/)
         # when the library is built; no per-loader switch needed.
 
@@ -235,7 +256,60 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _pack_one(self, batch):
+        try:
+            return pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
+                               g_pad=self.g_pad,
+                               mxu_layout=self.layout == "mxu",
+                               n_pairs_pad=self.pair_pad)
+        except ValueError:
+            # tight-geometry escape: repack at the batch's exact need
+            # (the 'worst-case' estimate is NOT a true bound under the
+            # mxu layout — block placement is order-sensitive)
+            self.n_escapes += 1
+            return _escape_pack(batch, self.layout, self.g_pad,
+                                self.n_pad, self.e_pad)
+
+    def _pack_micros(self, batch):
+        """batch (already size-ordered) -> list of K identically-shaped
+        GraphBatches, round-robin dealt so per-micro sizes balance.  All
+        micros of one super-batch MUST share static layout metadata (the
+        trainer stacks them for lax.scan), so overflow escapes repack EVERY
+        micro at one shared coarse geometry, and ext_passes is unified."""
+        import dataclasses as dc
+        parts = [batch[k::self.micro_batches]
+                 for k in range(self.micro_batches)]
+        parts = [p for p in parts if p]
+        try:
+            gbs = [pack_graphs(p, n_pad=self.n_pad, e_pad=self.e_pad,
+                               g_pad=self.g_pad,
+                               mxu_layout=self.layout == "mxu",
+                               n_pairs_pad=self.pair_pad) for p in parts]
+        except ValueError:
+            self.n_escapes += 1
+            n_req = e_req = 1
+            for p in parts:
+                n, e = pack_requirements(p, mxu_layout=self.layout == "mxu")
+                n_req, e_req = max(n_req, n), max(e_req, e)
+            n_pad = round_up(max(n_req + 1, self.n_pad), 512)
+            e_pad = round_up(max(e_req, self.e_pad), 512)
+            pair_pad = (round_up(max(mxu_pairs_needed(p) for p in parts), 64)
+                        if self.layout == "mxu" else None)
+            gbs = [pack_graphs(p, n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
+                               mxu_layout=self.layout == "mxu",
+                               n_pairs_pad=pair_pad) for p in parts]
+        if self.layout == "mxu" and len(gbs) > 1:
+            passes = max(g.mxu.ext_passes for g in gbs)
+            gbs = [g if g.mxu.ext_passes == passes else
+                   dc.replace(g, mxu=dc.replace(g.mxu, ext_passes=passes))
+                   for g in gbs]
+        return gbs
+
     def __iter__(self):
+        if self._cached is not None:
+            yield from self._cached
+            return
+        out = [] if self.cache else None
         idx = np.arange(len(self.graphs))
         if self.shuffle:
             self.rng.shuffle(idx)
@@ -243,18 +317,13 @@ class BatchLoader:
         for i in range(0, len(idx), bs):
             chunk = idx[i:i + bs]
             if self.drop_last and len(chunk) < bs:
-                return
+                break
             batch = _order_for_layout([self.graphs[j] for j in chunk],
                                       self.layout)
-            try:
-                yield pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
-                                  g_pad=self.g_pad,
-                                  mxu_layout=self.layout == "mxu",
-                                  n_pairs_pad=self.pair_pad)
-            except ValueError:
-                # tight-geometry escape: repack at the batch's exact need
-                # (the 'worst-case' estimate is NOT a true bound under the
-                # mxu layout — block placement is order-sensitive)
-                self.n_escapes += 1
-                yield _escape_pack(batch, self.layout, self.g_pad,
-                                   self.n_pad, self.e_pad)
+            gb = (self._pack_one(batch) if self.micro_batches == 1
+                  else self._pack_micros(batch))
+            if out is not None:
+                out.append(gb)
+            yield gb
+        if out is not None:
+            self._cached = out

@@ -117,24 +117,33 @@ def synthetic_superpixels(num_graphs: int, seed: int = 0, n_classes: int = 10,
     """Superpixel-like graphs: kNN(8) edges over 2D coords, gaussian edge
     weights (reference data/superpixels.py:17-69).
 
-    Class signal is INJECTED into generation, as in real image classes:
-    class c draws coords from a Gaussian mixture with (c mod 5)+1 clusters
-    at spread 0.05/0.11 (c//5) — cluster count and tightness shape the kNN
-    graph's edge-length/weight statistics and spectral field, which a GNN
-    detects robustly.  (Post-hoc quantile-binned scores generalized barely
-    above chance at 10 classes — bins narrower than the score noise; and a
-    hash-style label is outright unlearnable.)"""
+    Class signal is INJECTED into generation, as in real image classes, and
+    every class pair differs in a statistic the kNN GRAPH expresses (round-4
+    review: the old spread-only second axis left half the pairs separable
+    only by an absolute scale the kNN graph largely normalizes away):
+    class c = style*5 + (clusters-1) draws coords from a mixture of
+    (c mod 5)+1 clusters — cluster count shapes the community structure /
+    low Laplacian spectrum — where each cluster is either a 2D Gaussian BLOB
+    (c < 5) or a thin RING (c >= 5): a 1D manifold whose kNN graph is a
+    band/cycle with very different local connectivity (triangle density,
+    directional field) from a blob's, robustly visible to the GNN (and the
+    coords are node features, as in real superpixels)."""
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(num_graphs):
         n = int(rng.integers(nodes - 10, nodes + 10))
         label = int(rng.integers(0, n_classes))
         n_clusters = (label % 5) + 1
-        spread = 0.05 if label < 5 else 0.11
+        ring = label >= 5
         centers = rng.random((n_clusters, 2))
         which = rng.integers(0, n_clusters, size=n)
-        xy = (centers[which]
-              + rng.normal(scale=spread, size=(n, 2))).astype(np.float32)
+        if ring:
+            ang = rng.uniform(0.0, 2.0 * np.pi, size=n)
+            rad = 0.13 + rng.normal(scale=0.012, size=n)
+            off = rad[:, None] * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+        else:
+            off = rng.normal(scale=0.05, size=(n, 2))
+        xy = (centers[which] + off).astype(np.float32)
         d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
         np.fill_diagonal(d2, np.inf)
         k = min(knn, n - 1)

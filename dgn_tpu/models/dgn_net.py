@@ -87,6 +87,26 @@ class DGNConfig:
         return tuple(scaler_ops.parse_names(self.scalers))
 
 
+def edge_context_for(gb: GraphBatch, cfg: DGNConfig):
+    """The EdgeContext DGNModel attaches: eig deltas, directional
+    normalizers, decomposed weight families, adjacency blocks.
+
+    Everything in it depends only on (eig, edges, layout) — NOT on params —
+    so for fixed batches (eval loaders; aug-free training) it can be built
+    once and reused across steps (Trainer eval-context cache): the build is
+    ~0.9 ms of the 1.9 ms ZINC step (RESULTS.md round-4 stage accounting).
+    """
+    layout = gb.mxu
+    decomposed = cfg.decompose and (cfg.type_net == "simple"
+                                    or cfg.pretrans_layers == 1)
+    return agg_ops.build_edge_context(
+        gb.eig, gb.src, gb.dst, gb.edge_mask, gb.in_degree,
+        names=cfg.agg_names(),
+        need_norms=layout is None and not decomposed,
+        mxu_layout=gb.mxu, decomposed=decomposed,
+        adj_dtype=cfg.compute_dtype)
+
+
 class DGNModel(fnn.Module):
     cfg: DGNConfig
 
@@ -137,16 +157,12 @@ class DGNModel(fnn.Module):
         # ---- DGN layers (+ virtual node interleave)
         # eig deltas + directional normalizers are layer-invariant (eig is
         # fixed per batch, incl. after augmentation) — build them ONCE here
-        # instead of once per layer
-        layout = gb.mxu
+        # instead of once per layer.  A pre-attached context (Trainer's
+        # eval-context cache, edge_context_for) is reused as-is.
         decomposed = cfg.decompose and (cfg.type_net == "simple"
                                         or cfg.pretrans_layers == 1)
-        gb = dataclasses.replace(gb, edge_ctx=agg_ops.build_edge_context(
-            gb.eig, gb.src, gb.dst, gb.edge_mask, gb.in_degree,
-            names=cfg.agg_names(),
-            need_norms=layout is None and not decomposed,
-            mxu_layout=gb.mxu, decomposed=decomposed,
-            adj_dtype=cfg.compute_dtype))
+        if gb.edge_ctx is None:
+            gb = dataclasses.replace(gb, edge_ctx=edge_context_for(gb, cfg))
         common = dict(
             aggregators=cfg.agg_names(), scalers=cfg.scaler_names(),
             avg_d=avg_d, dropout=cfg.dropout, graph_norm=cfg.graph_norm,

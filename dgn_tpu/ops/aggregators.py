@@ -27,8 +27,9 @@ Two execution paths share these formulas:
 """
 from __future__ import annotations
 
+import dataclasses
 import re
-from typing import NamedTuple, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,19 +38,26 @@ from . import segment
 from .segment import EPS
 
 
-class EdgeContext(NamedTuple):
-    """Precomputed per-edge/per-node quantities shared by all aggregators."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EdgeContext:
+    """Precomputed per-edge/per-node quantities shared by all aggregators.
+
+    A pytree (it rides inside GraphBatch through jit boundaries — the
+    Trainer's eval-context cache attaches a prebuilt one); num_nodes and
+    sorted_dst are STATIC metadata because they feed segment-op shapes."""
     dst: jax.Array                    # [E] int32
     edge_mask: jax.Array              # [E] bool
-    num_nodes: int
     degree: jax.Array                 # [N] true in-degree
     eig_delta: Optional[jax.Array]    # [E, K] eig_src - eig_dst (None if unused)
     abs_sum: Optional[jax.Array]      # [N, K] per-dst sum of |delta| (XLA path)
     pos_sum: Optional[jax.Array]      # [N, K] per-dst sum of relu(delta)
     neg_sum: Optional[jax.Array]      # [N, K] per-dst sum of relu(-delta)
+    num_nodes: int = dataclasses.field(metadata=dict(static=True), default=0)
     # MXU block packing leaves gb.dst non-monotone; flat segment ops must
     # then not claim indices_are_sorted
-    sorted_dst: bool = True
+    sorted_dst: bool = dataclasses.field(metadata=dict(static=True),
+                                         default=True)
     # ---- decomposed path (aggregate_decomposed) ----
     # The canonical configs all use a LINEAR pretrans (pretrans_layers=1), so
     # per-edge messages decompose as msg_e = g[src_e] + q[dst_e] (+ c_e) with
@@ -67,6 +75,11 @@ class EdgeContext(NamedTuple):
     # segment-sums become one batched dense matmul (mxu.pair_adj_matmul)
     fam_adj: Optional[dict] = None
 
+
+# Route max/min through the scatter-free block reduction (ops/extremes.py)
+# on MXU layouts.  TRACE-TIME switch (like mxu.USE_ADJ_KERNEL): flip before
+# first trace or clear jit caches when A/B-ing against the joint-scatter pass.
+USE_MXU_EXTREMES = True
 
 _DIR_RE = re.compile(
     r"^dir(?P<k>\d+)-(?P<kind>av|smooth|dx|dx-no-abs|dx-balanced|0\.1|neg-0\.1)$")
@@ -564,11 +577,16 @@ def aggregate_decomposed(names: Sequence[str], ctx: EdgeContext,
     has_edge = (deg > 0)[:, None]
     q = q_node
 
-    # max+min together: one scatter pass over [ge, -ge] instead of two —
-    # these scatters dominate the HIV/PCBA configs (segment.segment_extremes
-    # docstring has the measurements and the tie-gradient semantics)
+    # extremes: under the MXU layout, the scatter-free block reduction
+    # (ops/extremes.py — segmented max-scan + one-hot routing matmuls, equal
+    # tie-split backward); flat layout keeps the joint [ge, -ge] scatter pass
+    # (segment.segment_extremes docstring has the measurements)
     ext = None
-    if "max" in names and "min" in names:
+    if ("max" in names or "min" in names) and is_mxu and USE_MXU_EXTREMES:
+        from . import extremes as ext_ops
+        ext = ext_ops.mxu_segment_extremes(ge, layout, ctx.edge_mask,
+                                           ctx.num_nodes)
+    elif "max" in names and "min" in names:
         ext = segment.segment_extremes(ge, ctx.dst, ctx.num_nodes,
                                        ctx.edge_mask,
                                        indices_are_sorted=ctx.sorted_dst)
@@ -649,6 +667,11 @@ def aggregate(names: Sequence[str], ctx: EdgeContext, msg: jax.Array,
         if fuse_names:
             fused = _fused_aggregate(fuse_names, ctx, msg, h_in, layout,
                                      compute_dtype)
+        if ("max" in names or "min" in names) and USE_MXU_EXTREMES:
+            from . import extremes as ext_ops
+            mx, mn = ext_ops.mxu_segment_extremes(msg, layout, ctx.edge_mask,
+                                                  ctx.num_nodes)
+            fused["max"], fused["min"] = mx, mn
     outs = [fused[n] if n in fused else _agg_xla(n, ctx, msg, h_in)
             for n in names]
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]

@@ -101,9 +101,31 @@ class MXULayout:
     # region as pair_src - n_own_blocks)
     n_own_blocks: Optional[int] = dataclasses.field(
         metadata=dict(static=True), default=None)
+    # Hillis-Steele passes the scatter-free extremes reduction needs
+    # (ops/extremes.py): ceil(log2(longest within-chunk run of equal-dst real
+    # edges)), rounded UP to the {1,2,3,4,5,7} ladder so batches of one
+    # loader geometry share a compiled program.  Default 7 (= log2(TILE)) is
+    # always correct.
+    ext_passes: int = dataclasses.field(metadata=dict(static=True), default=7)
 
 
 # ===================================================================== host
+
+def _ext_passes(dst: np.ndarray, edge_mask: np.ndarray) -> int:
+    """ceil(log2(longest within-chunk equal-dst run)) on the {1,2,3,4,5,7}
+    ladder (see MXULayout.ext_passes).  Runs are bounded by the max in-degree
+    — a dataset property — so the ladder value is stable across batches."""
+    e_pad = len(dst)
+    if not edge_mask.any():
+        return 1
+    new = np.ones(e_pad, bool)
+    new[1:] = (dst[1:] != dst[:-1]) | ~edge_mask[1:] | ~edge_mask[:-1]
+    new[np.arange(0, e_pad, TILE)] = True
+    lengths = np.bincount(np.cumsum(new)[edge_mask])
+    max_run = int(lengths.max())
+    p = max(int(np.ceil(np.log2(max(max_run, 2)))), 1)
+    return p if p <= 5 else 7
+
 
 def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
                      node_graph: np.ndarray, node_mask: np.ndarray,
@@ -185,6 +207,7 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
         pair_sorted_ids=jnp.asarray(
             chunk_pair[pair_chunk_order].astype(np.int32)),
         pair_covered=jnp.asarray(pair_covered),
+        ext_passes=_ext_passes(dst, edge_mask),
     )
 
 

@@ -144,6 +144,9 @@ def prepare(cfg, n_devices: int = 1, partition: str = "dp"):
                               mxu_layout=layout == "mxu")
     else:
         trainer = Trainer(model, loss_fn, cfg.params, task=task)
+        mb = cfg.data.micro_batches
+        # auto: keep each packed unit at the measured ~1024-graphs/chip knee
+        mb = max(1, -(-bs // 1024)) if mb == "auto" else max(1, int(mb))
         for split, gs in ds.splits.items():
             if cfg.data.n_buckets > 1:
                 from .data.loader import BucketedLoader
@@ -154,14 +157,20 @@ def prepare(cfg, n_devices: int = 1, partition: str = "dp"):
             else:
                 # shuffled train: typical/worst per cfg; unshuffled val/test:
                 # exact geometry over their fixed batch partition (loader.py)
+                # val/test batches are fixed across epochs: cache the packed
+                # batches so the trainer reuses their edge context too
                 loaders[split] = BatchLoader(gs, batch_size=bs,
                                              shuffle=(split == "train"),
                                              seed=cfg.params.seed,
                                              layout=layout,
-                                             geometry=cfg.data.geometry)
+                                             geometry=cfg.data.geometry,
+                                             cache=(split != "train"),
+                                             micro_batches=mb)
         # example batch only seeds init/param-count; auto (exact) pads are
         # always safe, and param shapes don't depend on batch geometry
-        example = pack_graphs(ds.train[:min(bs, len(ds.train))],
+        ex_n = min(getattr(loaders["train"], "micro_size", bs), bs,
+                   len(ds.train))
+        example = pack_graphs(ds.train[:ex_n],
                               g_pad=loaders["train"].g_pad,
                               mxu_layout=layout == "mxu")
     return ds, model, loss_fn, trainer, loaders, example

@@ -45,8 +45,11 @@ CASES = [
     dict(type_net="complex", edge_feat=True, layout="flat"),
     dict(type_net="complex", edge_feat=True, layout="mxu"),
     # HIV config shape: simple net, 5 aggregators, SINGLE scaler (the
-    # len(scalers)>1 quirk -> no scaling at all)
+    # len(scalers)>1 quirk -> no scaling at all).  The mxu variant exercises
+    # the scatter-free block extremes (ops/extremes.py) end to end.
     dict(type_net="simple", edge_feat=False, layout="flat",
+         aggregators="mean max min dir1-dx dir1-av", scalers="identity"),
+    dict(type_net="simple", edge_feat=False, layout="mxu",
          aggregators="mean max min dir1-dx dir1-av", scalers="identity"),
     dict(type_net="simple", edge_feat=False, layout="mxu"),
     # towers (divide_input, LeakyReLU mixing, no relu/residual inside)

@@ -145,3 +145,33 @@ def test_superpixels_labels_learnable_and_generalize():
         state, m = tr.train_epoch(state, loader, ep)
     ev = tr.evaluate(state, BatchLoader(val, 32))
     assert ev["acc"] > 70.0, (m, ev)   # held-out; chance = 50%
+
+
+def test_eval_context_cache_matches_rebuild():
+    """BatchLoader(cache=True) + Trainer eval-context reuse: identical
+    metrics to the rebuild-every-step path, and the cache actually hits."""
+    graphs = synthetic.synthetic_zinc(48, seed=9)
+    degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
+                           for g in graphs])
+    cfg = DGNConfig(hidden_dim=12, out_dim=12, L=2, avg_d=degree_stats(degs),
+                    aggregators="mean dir1-dx dir1-av",
+                    scalers="identity amplification attenuation")
+    model, loss_fn = zinc_model(cfg)
+    trainer = Trainer(model, loss_fn, TrainParams(seed=41), task="zinc")
+
+    plain = BatchLoader(graphs, 16, layout="mxu")
+    cached = BatchLoader(graphs, 16, layout="mxu", cache=True)
+    state = trainer.init_state(next(iter(plain)))
+
+    want = trainer.evaluate(state, plain)
+    got1 = trainer.evaluate(state, cached)
+    got2 = trainer.evaluate(state, cached)        # second epoch: cache hits
+    np.testing.assert_allclose(got1["mae"], want["mae"], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got1["loss"], want["loss"], rtol=1e-6,
+                               atol=1e-7)
+    assert got2 == got1
+    assert len(trainer._ctx_cache) == len(cached)  # one entry per batch
+    # the cached loader replays identical objects across epochs
+    a = [id(gb) for gb in cached]
+    b = [id(gb) for gb in cached]
+    assert a == b

@@ -131,12 +131,15 @@ def reduce_stage(aggs, scalers, msg, src, dst, n, eig, h_in, deg, avg_d):
 # ==================================================================== layers
 
 class TFCLayer(nn.Module):
-    """nets/layers.py FCLayer (dropout 0, no b_norm — as used in the DGN MLPs)."""
+    """nets/layers.py FCLayer (dropout 0): Linear -> activation -> (dropout)
+    -> BatchNorm1d, in that order (nets/layers.py:101-112; b_norm used by the
+    VirtualNode FCLayer, nets/dgn_layer.py:16-17)."""
 
-    def __init__(self, in_size, out_size, activation="relu"):
+    def __init__(self, in_size, out_size, activation="relu", b_norm=False):
         super().__init__()
         self.linear = nn.Linear(in_size, out_size)
         self.activation = activation
+        self.b_norm = nn.BatchNorm1d(out_size) if b_norm else None
 
     def forward(self, x):
         h = self.linear(x)
@@ -146,6 +149,8 @@ class TFCLayer(nn.Module):
             h = F.leaky_relu(h, 0.01)
         elif self.activation != "none":
             raise ValueError(self.activation)
+        if self.b_norm is not None:
+            h = self.b_norm(h)
         return h
 
 
@@ -329,6 +334,55 @@ class TMLPReadout(nn.Module):
         return self.FC_layers[self.L](y)
 
 
+class TMultiEmbedding(nn.Module):
+    """OGB AtomEncoder/BondEncoder: per-column embedding tables summed,
+    xavier-uniform initialized (ogb.graphproppred.mol_encoder, imported by
+    reference nets/HIV_graph_classification/dgn_net.py:6)."""
+
+    def __init__(self, dims, emb_dim):
+        super().__init__()
+        self.embs = nn.ModuleList()
+        for d in dims:
+            e = nn.Embedding(d, emb_dim)
+            nn.init.xavier_uniform_(e.weight.data)
+            self.embs.append(e)
+
+    def forward(self, x):
+        out = 0
+        for i, e in enumerate(self.embs):
+            out = out + e(x[:, i])
+        return out
+
+
+# OGB full_atom/bond_feature_dims (must match dgn_tpu/models/encoders.py)
+T_ATOM_DIMS = (119, 4, 12, 12, 10, 6, 6, 2, 2)
+T_BOND_DIMS = (5, 6, 2)
+
+
+class OracleVirtualNode(nn.Module):
+    """nets/dgn_layer.py:12-49 VirtualNode: pool -> FCLayer(vn_h + pool) with
+    residual -> broadcast-add back to nodes."""
+
+    def __init__(self, dim, batch_norm, residual, vn_type):
+        super().__init__()
+        self.fc_layer = TFCLayer(dim, dim, "relu", b_norm=batch_norm)
+        self.residual = residual
+        self.vn_type = vn_type
+
+    def forward(self, b, h, vn_h):
+        gid, G = b["gid"], b["n_nodes"].shape[0]
+        nn_ = b["n_nodes"].clamp(min=1).unsqueeze(-1).to(h.dtype)
+        pool = seg_sum(h, gid, G) / nn_            # dgl.mean_nodes
+        if self.vn_type == "sum":
+            pool = seg_sum(h, gid, G)
+        elif self.vn_type == "logsum":
+            pool = pool * torch.log(b["n_nodes"].to(h.dtype)).unsqueeze(-1)
+        vn_tmp = self.fc_layer(vn_h + pool)
+        vn_h = vn_h + vn_tmp if self.residual else vn_tmp
+        h = h + vn_h[gid]                          # per-graph repeat (:44-47)
+        return vn_h, h
+
+
 class OracleNet(nn.Module):
     """nets/molecules_graph_regression/dgn_net.py DGNNet (dropout 0)."""
 
@@ -338,11 +392,28 @@ class OracleNet(nn.Module):
         h, out = cfg.hidden_dim, cfg.out_dim
         aggs = cfg.aggregators.split()
         scalers = cfg.scalers.split()
-        self.embedding_h = nn.Embedding(cfg.num_node_types, h)
+        if cfg.node_encoder == "atom":            # HIV/PCBA nets
+            self.embedding_h = TMultiEmbedding(T_ATOM_DIMS, h)
+        elif cfg.node_encoder == "linear":        # superpixels net
+            self.embedding_h = nn.Linear(
+                cfg.num_node_types, h)            # num_node_types = in_dim
+        else:
+            self.embedding_h = nn.Embedding(cfg.num_node_types, h)
         if cfg.edge_feat:
-            self.embedding_e = nn.Embedding(cfg.num_edge_types, cfg.edge_dim)
+            if cfg.edge_encoder == "bond":
+                self.embedding_e = TMultiEmbedding(T_BOND_DIMS, cfg.edge_dim)
+            elif cfg.edge_encoder == "linear":
+                self.embedding_e = nn.Linear(cfg.num_edge_types, cfg.edge_dim)
+            else:
+                self.embedding_e = nn.Embedding(cfg.num_edge_types,
+                                                cfg.edge_dim)
         if cfg.pos_enc_dim > 0:
             self.embedding_pos_enc = nn.Linear(cfg.pos_enc_dim, h)
+        use_vn = cfg.virtual_node and cfg.virtual_node.lower() != "none"
+        self.virtual_node_layers = nn.ModuleList(
+            [OracleVirtualNode(h, cfg.batch_norm, cfg.residual,
+                               cfg.virtual_node) for _ in range(cfg.L - 1)]
+        ) if use_vn else None
 
         def mk(in_dim, out_dim):
             kw = dict(aggs=aggs, scalers=scalers, avg_d=cfg.avg_d,
@@ -370,12 +441,28 @@ class OracleNet(nn.Module):
 
     def forward(self, b):
         cfg = self.cfg
-        h = self.embedding_h(b["x"].long())
+        x = b["x"]
+        h = self.embedding_h(x.float() if cfg.node_encoder == "linear"
+                             else x.long())
         if cfg.pos_enc_dim > 0:
             h = h + self.embedding_pos_enc(b["eig"][:, 1:cfg.pos_enc_dim + 1])
-        e = self.embedding_e(b["e"].long()) if cfg.edge_feat else None
-        for conv in self.layers:
+        e = None
+        if cfg.edge_feat:
+            e = self.embedding_e(b["e"].float()
+                                 if cfg.edge_encoder == "linear"
+                                 else b["e"].long())
+        for i, conv in enumerate(self.layers):
             h = conv(b, h, e)
+            # virtual-node interleave after each non-final layer
+            # (PCBA dgn_net.py:78-83; vn_h starts as the scalar 0)
+            if self.virtual_node_layers is not None:
+                if i == 0:
+                    vn_h = torch.zeros(1)
+                if i < len(self.virtual_node_layers):
+                    vn_h, h = self.virtual_node_layers[i](b, h, vn_h)
+        if cfg.readout == "node":
+            # SBM net: per-node head (SBMs dgn_net.py:52,64)
+            return self.MLP_layer(h)
 
         gid, G = b["gid"], b["n_nodes"].shape[0]
         nn_ = b["n_nodes"].clamp(min=1).unsqueeze(-1).to(h.dtype)
@@ -402,6 +489,34 @@ class OracleNet(nn.Module):
         return nn.L1Loss()(scores, targets)
 
 
+def task_loss(task, scores, b, n_classes=None):
+    """The five reference losses, applied the way the reference train loops
+    apply them (NaN masking for PCBA happens in the LOOP,
+    train_PCBA_graph_classification.py:32-33)."""
+    t = b["targets"]
+    if task == "zinc":
+        return nn.L1Loss()(scores, t)
+    if task == "superpixels":     # superpixels dgn_net.py:75-78
+        return nn.CrossEntropyLoss()(scores, t.reshape(-1).long())
+    if task == "hiv":             # HIV dgn_net.py:87-89
+        return nn.BCEWithLogitsLoss()(scores, t.float())
+    if task == "pcba":            # PCBA dgn_net.py:99-102 + train loop mask
+        is_labeled = t == t
+        return nn.BCEWithLogitsLoss()(scores[is_labeled],
+                                      t.float()[is_labeled])
+    if task == "sbm":             # SBMs dgn_net.py:66-81, transcribed
+        label = b["node_labels"]
+        V = label.size(0)
+        label_count = torch.bincount(label)
+        label_count = label_count[label_count.nonzero()].squeeze()
+        cluster_sizes = torch.zeros(n_classes).long()
+        cluster_sizes[torch.unique(label)] = label_count
+        weight = (V - cluster_sizes).float() / V
+        weight *= (cluster_sizes > 0).float()
+        return nn.CrossEntropyLoss(weight=weight)(scores, label)
+    raise KeyError(task)
+
+
 # ============================================================ batch building
 
 def torch_batch(graphs):
@@ -422,7 +537,7 @@ def torch_batch(graphs):
         off += g.num_nodes
     dst = torch.from_numpy(np.concatenate(dsts))
     deg = torch.zeros(off).index_add_(0, dst, torch.ones(dst.shape[0]))
-    return dict(
+    out = dict(
         src=torch.from_numpy(np.concatenate(srcs)),
         dst=dst,
         x=torch.from_numpy(np.concatenate(xs)),
@@ -435,6 +550,10 @@ def torch_batch(graphs):
         targets=torch.from_numpy(
             np.stack([np.asarray(g.label, np.float32) for g in graphs])),
     )
+    if graphs[0].node_labels is not None:
+        out["node_labels"] = torch.from_numpy(np.concatenate(
+            [np.asarray(g.node_labels, np.int64) for g in graphs]))
+    return out
 
 
 # ====================================================== flax param mapping
@@ -475,19 +594,42 @@ def _layer_tree(tl, type_net, grad):
     return d
 
 
+def _multi_emb(menc: TMultiEmbedding, name, grad):
+    return {name: {f"emb_{i}": _t(e.weight.grad if grad else e.weight).copy()
+                   for i, e in enumerate(menc.embs)}}
+
+
 def flax_tree(net: OracleNet, grad: bool = False):
     """The flax DGNModel 'params' pytree (values from torch params or grads)."""
     cfg = net.cfg
-    emb = net.embedding_h.weight
-    tree = {"embedding_h": {"embedding":
-                            _t(emb.grad if grad else emb).copy()}}
+    if cfg.node_encoder == "atom":
+        tree = {"embedding_h": _multi_emb(net.embedding_h, "atom", grad)}
+    elif cfg.node_encoder == "linear":
+        tree = {"embedding_h": _lin(net.embedding_h, grad)}
+    else:
+        emb = net.embedding_h.weight
+        tree = {"embedding_h": {"embedding":
+                                _t(emb.grad if grad else emb).copy()}}
     if cfg.edge_feat:
-        w = net.embedding_e.weight
-        tree["embedding_e"] = {"embedding": _t(w.grad if grad else w).copy()}
+        if cfg.edge_encoder == "bond":
+            tree["embedding_e"] = _multi_emb(net.embedding_e, "bond", grad)
+        elif cfg.edge_encoder == "linear":
+            tree["embedding_e"] = _lin(net.embedding_e, grad)
+        else:
+            w = net.embedding_e.weight
+            tree["embedding_e"] = {"embedding":
+                                   _t(w.grad if grad else w).copy()}
     if cfg.pos_enc_dim > 0:
         tree["embedding_pos_enc"] = _lin(net.embedding_pos_enc, grad)
     for i, tl in enumerate(net.layers):
         tree[f"layer_{i}"] = _layer_tree(tl, cfg.type_net, grad)
+    if net.virtual_node_layers is not None:
+        for i, vn in enumerate(net.virtual_node_layers):
+            fc = {"kernel": _lin(vn.fc_layer.linear, grad)["kernel"],
+                  "bias": _lin(vn.fc_layer.linear, grad)["bias"]}
+            if vn.fc_layer.b_norm is not None:
+                fc["MaskedBatchNorm_0"] = _bn_params(vn.fc_layer.b_norm, grad)
+            tree[f"virtual_node_{i}"] = {"fc_layer": fc}
     tree["MLP_layer"] = {f"Linear_{i}": _lin(l, grad)
                          for i, l in enumerate(net.MLP_layer.FC_layers)}
     return tree
@@ -509,4 +651,9 @@ def flax_batch_stats(net: OracleNet):
                                   for t, tw in enumerate(tl.towers)}
         else:
             tree[f"layer_{i}"] = {"batchnorm_h": bn(tl.batchnorm_h)}
+    if net.virtual_node_layers is not None:
+        for i, vn in enumerate(net.virtual_node_layers):
+            if vn.fc_layer.b_norm is not None:
+                tree[f"virtual_node_{i}"] = {
+                    "fc_layer": {"MaskedBatchNorm_0": bn(vn.fc_layer.b_norm)}}
     return tree

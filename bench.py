@@ -121,10 +121,15 @@ def make_train_scan(trainer, gb):
     return run
 
 
-def time_train(trainer, gb):
-    """(seconds/step, run, state, rng) for a trainer+batch pair."""
+def time_train(trainer, gb, init_gb=None):
+    """(seconds/step, run, state, rng) for a trainer+batch pair.
+
+    gb may be a LIST of micro-batches (Trainer._micro_batched runs them in
+    one step); init_gb then seeds parameter init (shapes don't depend on
+    batch geometry)."""
     import jax
-    state = trainer.init_state(gb)
+    state = trainer.init_state(init_gb if init_gb is not None
+                               else (gb[0] if isinstance(gb, list) else gb))
     run = make_train_scan(trainer, gb)
     rng = jax.random.PRNGKey(0)
     step_s = slope_time(run, (state, rng, STEPS_LO), (state, rng, STEPS_HI))
@@ -161,14 +166,20 @@ def build_graphs(batch=BATCH, seed=41):
 
 
 def pack(graphs, layout, batch=None):
-    from dgn_tpu.graph import (bucket_sizes_for, mxu_bucket_sizes,
-                               pack_graphs)
+    """Pack ONE batch the way the shipped loaders do: descending-size order
+    and EXACT geometry (data/loader.py _order_for_layout/_exact_geometry) —
+    not the any-shuffle worst-case bound, which left ~38% of edge slots
+    padded and padded slots cost real compute under the block layout."""
+    from dgn_tpu.graph import (bucket_sizes_for, pack_graphs,
+                               pack_requirements, round_up)
 
     batch = batch or len(graphs)
     if layout.startswith("mxu"):
-        n_pad, e_pad, g_pad = mxu_bucket_sizes(graphs, batch)
-        return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
-                           mxu_layout=True)
+        graphs = sorted(graphs, key=lambda g: -g.num_nodes)
+        n_used, e_used = pack_requirements(graphs, mxu_layout=True)
+        return pack_graphs(graphs, n_pad=round_up(n_used, 128),
+                           e_pad=round_up(max(e_used, 128), 128),
+                           g_pad=round_up(batch, 128), mxu_layout=True)
     n_pad, e_pad = bucket_sizes_for(graphs, batch)
     return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=batch)
 
@@ -201,10 +212,15 @@ def time_layout(layout, graphs, avg_d, real_edges):
 
 def bench_batch_sweep(layout, base_entry):
     """edges/s at batch 1024..8192 under the headline layout.  Round-4
-    finding (RESULTS.md): per-edge cost RISES with batch (block traffic and
-    per-op constants grow, nothing amortizes) — two points beyond the
-    headline batch suffice to record the trend.  The batch-1024 point
-    reuses the headline layout measurement."""
+    finding (RESULTS.md): per-edge cost RISES with batch when packed as one
+    unit (block traffic and per-op constants grow, nothing amortizes).
+    Round 5 adds the SHIPPED fix per batch size: automatic micro-batching
+    (run.py 'auto' = ceil(batch/1024)) — K knee-sized micro-batches inside
+    one jitted step with exact batch-mean gradient accumulation — recorded
+    as the 'micro' sub-entry; the sweep's point is that micro rows stay
+    ~flat where single-pack rows degrade."""
+    from dgn_tpu.data.loader import BatchLoader
+
     out = {"1024": dict(base_entry)}
     for batch in (2048, 8192):
         graphs, avg_d_b, real_edges = build_graphs(batch)
@@ -213,9 +229,19 @@ def bench_batch_sweep(layout, base_entry):
         step_s, *_ = time_train(trainer, gb)
         out[str(batch)] = {"edges_per_s": round(real_edges / step_s, 1),
                            "step_ms": round(step_s * 1e3, 3)}
-        log(f"[bench] sweep batch={batch}: "
-            f"{real_edges / step_s / 1e6:.1f}M edges/s "
-            f"({step_s * 1e3:.2f} ms/step)")
+        k = batch // 1024
+        loader = BatchLoader(graphs, batch, layout="mxu",
+                             geometry="typical", micro_batches=k)
+        micros = next(iter(loader))
+        trainer_m = make_zinc_trainer(micros[0], avg_d_b, layout)
+        micro_s, *_ = time_train(trainer_m, micros)
+        out[str(batch)]["micro"] = {
+            "k": len(micros),
+            "edges_per_s": round(real_edges / micro_s, 1),
+            "step_ms": round(micro_s * 1e3, 3)}
+        log(f"[bench] sweep batch={batch}: single "
+            f"{real_edges / step_s / 1e6:.1f}M, micro x{len(micros)} "
+            f"{real_edges / micro_s / 1e6:.1f}M edges/s")
     return out
 
 
@@ -250,9 +276,17 @@ def bench_pcba():
     """The biggest published workload: ogbg-molpcba canonical config —
     simple net, hidden 70, batch 2048, virtual node, 128 tasks
     (configs/molecules_graph_classification_DGN_PCBA.json +
-    reference README.md:144 --virtual_node)."""
+    reference README.md:144 --virtual_node).
+
+    Round 5: the max/min extremes run the scatter-free block reduction
+    (ops/extremes.py); the headline row is the SHIPPED execution — auto
+    micro-batching (2 x 1024 inside one step, run.py) — with the
+    single-2048-pack and the legacy joint-scatter lowering recorded as
+    sub-entries for the A/B."""
     from dgn_tpu.data import synthetic
+    from dgn_tpu.data.loader import BatchLoader
     from dgn_tpu.models import DGNConfig, pcba_model
+    from dgn_tpu.ops import aggregators as agg_ops
     from dgn_tpu.ops.scalers import degree_stats
     from dgn_tpu.train.trainer import TrainParams, Trainer
 
@@ -262,19 +296,41 @@ def bench_pcba():
     degs = np.concatenate([np.bincount(g.dst, minlength=g.num_nodes)
                            for g in graphs])
     real_edges = sum(g.num_edges for g in graphs)
-    gb = pack(graphs, "mxu", n_graphs)
     cfg = DGNConfig(hidden_dim=70, out_dim=70, L=4, type_net="simple",
                     aggregators="mean max min dir1-dx dir1-av",
                     scalers="identity", avg_d=degree_stats(degs),
                     graph_norm=False, n_out=128, virtual_node="mean",
                     node_encoder="atom", edge_feat=False)
-    model, loss_fn = pcba_model(cfg)
-    trainer = Trainer(model, loss_fn,
-                      TrainParams(seed=41, init_lr=1e-2, weight_decay=3e-6),
-                      task="pcba", donate=False)
-    step_s, run, state, rng = time_train(trainer, gb)
-    mfu, _, _ = compiled_costs(run, state, rng, step_s)
-    return real_edges / step_s, step_s * 1e3, mfu
+
+    def mk_trainer():
+        model, loss_fn = pcba_model(cfg)
+        return Trainer(model, loss_fn,
+                       TrainParams(seed=41, init_lr=1e-2, weight_decay=3e-6),
+                       task="pcba", donate=False)
+
+    detail = {}
+    gb = pack(graphs, "mxu", n_graphs)
+    step_single, run, state, rng = time_train(mk_trainer(), gb)
+    mfu, _, _ = compiled_costs(run, state, rng, step_single)
+    detail["single_2048"] = {"edges_per_s": round(real_edges / step_single, 1),
+                             "step_ms": round(step_single * 1e3, 3)}
+    loader = BatchLoader(graphs, n_graphs, layout="mxu", geometry="typical",
+                         micro_batches=2)
+    micros = next(iter(loader))
+    step_micro, *_ = time_train(mk_trainer(), micros)
+    detail["micro_2x1024"] = {"edges_per_s": round(real_edges / step_micro, 1),
+                              "step_ms": round(step_micro * 1e3, 3)}
+    try:        # legacy joint-scatter extremes (r4 lowering), single pack
+        agg_ops.USE_MXU_EXTREMES = False
+        step_old, *_ = time_train(mk_trainer(), gb)
+        detail["scatter_extremes_2048"] = {
+            "edges_per_s": round(real_edges / step_old, 1),
+            "step_ms": round(step_old * 1e3, 3),
+            "block_extremes_speedup": round(step_old / step_single, 2)}
+    finally:
+        agg_ops.USE_MXU_EXTREMES = True
+    best = min(step_single, step_micro)
+    return real_edges / best, best * 1e3, mfu, detail
 
 
 def bench_fat(graphs, avg_d, real_edges):

@@ -18,17 +18,29 @@ from ..graph import GraphData
 from .. import spectral
 
 
-def _random_molecule_graph(rng: np.random.Generator, n: int):
-    """Connected sparse graph, avg degree ~2.2 (molecule-like), both edge dirs."""
+def _random_molecule_graph(rng: np.random.Generator, n: int,
+                           max_degree: int = 4):
+    """Connected sparse graph, avg degree ~2.2, max degree capped at 4 —
+    real molecular graphs are valence-bounded (ZINC/OGB heavy atoms bond to
+    <= 4 neighbors), which the uncapped uniform-attachment tree violated
+    with log(n)-degree hubs.  Both edge directions emitted."""
+    deg = np.zeros(n, np.int32)
     edges = set()
     for v in range(1, n):
-        u = int(rng.integers(0, v))
+        cands = np.nonzero(deg[:v] < max_degree)[0]
+        u = int(rng.choice(cands)) if len(cands) else int(rng.integers(0, v))
         edges.add((u, v))
+        deg[u] += 1
+        deg[v] += 1
     extra = max(0, int(n * 0.12))
     for _ in range(extra):
-        u, v = rng.integers(0, n, 2)
-        if u != v:
-            edges.add((min(u, v), max(u, v)))
+        u, v = (int(x) for x in rng.integers(0, n, 2))
+        key = (min(u, v), max(u, v))
+        if u != v and key not in edges \
+                and deg[u] < max_degree and deg[v] < max_degree:
+            edges.add(key)
+            deg[u] += 1
+            deg[v] += 1
     und = sorted(edges)
     src = np.array([u for u, v in und] + [v for u, v in und], np.int32)
     dst = np.array([v for u, v in und] + [u for u, v in und], np.int32)

@@ -47,22 +47,52 @@ import jax.numpy as jnp
 
 from .mxu import TILE, _onehot, block_scatter_sum
 
-_HI = jax.lax.Precision.HIGHEST
+
+def _split3(v):
+    """v (f32) as three exactly-bf16-representable f32 terms summing to v.
+
+    f32's 24 significand bits split into 3x8: hi = RN_bf16(v) takes the top
+    8, mid the next 8 of the exact f32 residual, lo the remaining <=8 (exact
+    in bf16 barring exponent underflow, irrelevant at these magnitudes).
+    Recombination hi+mid+lo is exact in f32 (disjoint mantissa ranges)."""
+    hi = v.astype(jnp.bfloat16).astype(v.dtype)
+    r = v - hi
+    mid = r.astype(jnp.bfloat16).astype(v.dtype)
+    lo = r - mid
+    return hi, mid, lo
 
 
-def _gather_rows(table, local_f, chunk_f, precision=None):
+def _exact_einsum(spec, oh, vals):
+    """einsum(spec, oh, vals) EXACT in f32 on the TPU MXU, as 3 DEFAULT
+    (single-bf16-pass) einsums over _split3(vals).
+
+    One-hot operands are exact in bf16, each split term is exact in bf16,
+    every output element accumulates exactly one nonzero product — so each
+    pass is exact and the f32 recombination is exact.  Half the cost of
+    precision=HIGHEST (6 passes), which needs no exactness assumption on
+    the LHS that one-hots happen to satisfy."""
+    hi, mid, lo = _split3(vals)
+    out = jnp.einsum(spec, oh, hi, preferred_element_type=vals.dtype)
+    out = out + jnp.einsum(spec, oh, mid, preferred_element_type=vals.dtype)
+    return out + jnp.einsum(spec, oh, lo, preferred_element_type=vals.dtype)
+
+
+def _gather_rows(table, local_f, chunk_f, exact=False):
     """table[chunk*TILE + local] per edge as one-hot matmuls ([C]-row slice
     gather + [C,128,128]x[C,128,F] einsum); float index arrays (exact)."""
     f = table.shape[-1]
     c = chunk_f.shape[0]
     tb = table.reshape(-1, TILE, f)[chunk_f.astype(jnp.int32)]
     oh = _onehot(local_f.astype(jnp.int32).reshape(c, TILE), table.dtype)
-    out = jnp.einsum("cen,cnf->cef", oh, tb, precision=precision,
-                     preferred_element_type=table.dtype)
+    if exact:
+        out = _exact_einsum("cen,cnf->cef", oh, tb)
+    else:
+        out = jnp.einsum("cen,cnf->cef", oh, tb,
+                         preferred_element_type=table.dtype)
     return out.reshape(c * TILE, f)
 
 
-def _fwd_impl(passes, nb, num_nodes, x, dl_f, ecd_f, em_f):
+def _fwd_impl(passes, nb, num_nodes, m_slots, x, dl_f, ecd_f, em_f, slots_f):
     e_pad, f2 = x.shape
     c = e_pad // TILE
     neg = jnp.array(-jnp.inf, x.dtype)
@@ -82,63 +112,77 @@ def _fwd_impl(passes, nb, num_nodes, x, dl_f, ecd_f, em_f):
         xr = jnp.maximum(xr, jnp.where(same[:, :, None], shifted, neg))
 
     # 2. route each run's last row to its dst slot (exactly one per
-    #    (chunk, dst) by contiguity).  HIGHEST precision keeps routed f32
-    #    values exact on the MXU (DEFAULT would bf16-round them and the
-    #    backward equality test would miss).
+    #    (chunk, dst) by contiguity).  The routed f32 values must be EXACT
+    #    on the MXU (DEFAULT would bf16-round them and the backward equality
+    #    test would miss) — _exact_einsum's split does it in 3 bf16 passes.
     nxt = jnp.pad((dl[:, 1:] == dl[:, :-1]) & rm[:, 1:] & rm[:, :-1],
                   ((0, 0), (0, 1)))
     is_last = rm & ~nxt
     route = jnp.where(is_last, dl, float(TILE)).astype(jnp.int32)
     oh = _onehot(route, x.dtype)                       # sentinel -> zero row
     vals = jnp.where(jnp.isfinite(xr), xr, 0.0)        # -inf rows are masked
-    part = jnp.einsum("cej,cef->cjf", oh, vals, precision=_HI,
-                      preferred_element_type=x.dtype)  # [C, TILE, 2F]
+    part = _exact_einsum("cej,cef->cjf", oh, vals)     # [C, TILE, 2F]
     has = jnp.sum(oh, axis=1) > 0.5                    # [C, TILE]
     part = jnp.where(has[:, :, None], part, neg)
 
-    # 3. cross-chunk combine: [C]-segment max into dst blocks
-    ecd = ecd_f.astype(jnp.int32)
-    outb = jax.ops.segment_max(part, ecd, nb, indices_are_sorted=True)
+    # 3. cross-chunk combine into dst blocks.  Chunks of one dst block are
+    #    contiguous, so with the host-known chunks-per-block bound M the
+    #    combine is a [nb*M]-row slot gather + dense max over the M axis —
+    #    measured 0.84 ms cheaper than the [C]-segment-max on the PCBA batch
+    #    (scatter-max rows here are whole [128, 2F] slices).
+    if m_slots:
+        pad_row = jnp.full((1, TILE, f2), neg, x.dtype)
+        part_all = jnp.concatenate([part, pad_row], axis=0)
+        blocks = part_all[slots_f.astype(jnp.int32)]    # [nb, M, TILE, 2F]
+        outb = jnp.max(blocks, axis=1)
+    else:
+        outb = jax.ops.segment_max(part, ecd_f.astype(jnp.int32), nb,
+                                   indices_are_sorted=True)
     out = jnp.where(jnp.isfinite(outb), outb, 0.0).reshape(nb * TILE, f2)
     return out  # [nb*TILE, 2F] as [max(x) | max(-x)] per node slot
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _extremes(passes, nb, num_nodes, ge, dl_f, ecd_f, em_f):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _extremes(passes, nb, num_nodes, m_slots, ge, dl_f, ecd_f, em_f, slots_f):
     x = jnp.concatenate([ge, -ge], axis=1)
-    out = _fwd_impl(passes, nb, num_nodes, x, dl_f, ecd_f, em_f)
+    out = _fwd_impl(passes, nb, num_nodes, m_slots, x, dl_f, ecd_f, em_f,
+                    slots_f)
     f = ge.shape[1]
     return out[:num_nodes, :f], -out[:num_nodes, f:]
 
 
-def _extremes_fwd(passes, nb, num_nodes, ge, dl_f, ecd_f, em_f):
+def _extremes_fwd(passes, nb, num_nodes, m_slots, ge, dl_f, ecd_f, em_f,
+                  slots_f):
     x = jnp.concatenate([ge, -ge], axis=1)
-    out = _fwd_impl(passes, nb, num_nodes, x, dl_f, ecd_f, em_f)
+    out = _fwd_impl(passes, nb, num_nodes, m_slots, x, dl_f, ecd_f, em_f,
+                    slots_f)
     f = ge.shape[1]
     return ((out[:num_nodes, :f], -out[:num_nodes, f:]),
-            (x, out, dl_f, ecd_f, em_f))
+            (x, out, dl_f, ecd_f, em_f, slots_f))
 
 
-def _extremes_bwd(passes, nb, num_nodes, res, cts):
-    x, m_pad, dl_f, ecd_f, em_f = res
+def _extremes_bwd(passes, nb, num_nodes, m_slots, res, cts):
+    x, m_pad, dl_f, ecd_f, em_f, slots_f = res
     dmx, dmn = cts
     f = dmx.shape[1]
     # cotangent of the joint [max(x) | max(-x)] output (mn = -out[:, f:])
     g_both = jnp.concatenate([dmx, -dmn], axis=1)
     g_pad = jnp.pad(g_both, ((0, nb * TILE - g_both.shape[0]), (0, 0)))
     # achieved max per edge — must be EXACT (it is compared against x), hence
-    # the HIGHEST-precision gather; the cotangent gather can round (DEFAULT).
-    mg = _gather_rows(m_pad, dl_f, ecd_f, precision=_HI)
-    gg = _gather_rows(g_pad, dl_f, ecd_f)
+    # the exact split gather; the cotangent/count gather can round (DEFAULT,
+    # and counts <= 128 are exact integers in bf16 anyway) and runs as ONE
+    # merged einsum.
+    mg = _gather_rows(m_pad, dl_f, ecd_f, exact=True)
     real = em_f > 0.5
     eq = (x == mg) & real[:, None]
     cnt = block_scatter_sum(eq.astype(x.dtype), dl_f.astype(jnp.int32),
                             ecd_f.astype(jnp.int32), nb)
-    cnt_e = _gather_rows(cnt, dl_f, ecd_f)   # integer counts <= 128: exact
+    gc = _gather_rows(jnp.concatenate([g_pad, cnt], axis=1), dl_f, ecd_f)
+    gg, cnt_e = gc[:, :2 * f], gc[:, 2 * f:]
     contrib = jnp.where(eq, gg / jnp.maximum(cnt_e, 1.0), 0.0)
     d_ge = contrib[:, :f] - contrib[:, f:]   # x = [ge, -ge]
     return (d_ge, jnp.zeros_like(dl_f), jnp.zeros_like(ecd_f),
-            jnp.zeros_like(em_f))
+            jnp.zeros_like(em_f), jnp.zeros_like(slots_f))
 
 
 _extremes.defvjp(_extremes_fwd, _extremes_bwd)
@@ -154,8 +198,24 @@ def mxu_segment_extremes(values: jax.Array, layout, edge_mask: jax.Array,
     Tie gradients split equally among argmax edges (torch/XLA semantics).
     """
     passes = int(getattr(layout, "ext_passes", 7))
-    return _extremes(passes, layout.n_node_blocks, num_nodes,
-                     values,
+    m = int(getattr(layout, "ext_block_chunks", 0))
+    nb = layout.n_node_blocks
+    ecd = layout.edge_chunk_dst
+    if m:
+        # chunk -> (block, rank-within-block) slot map, derived on device
+        # from the sorted edge_chunk_dst ([C]-sized ops, batch-constant and
+        # CSE'd across layers); pad slots point at the appended -inf row.
+        c = ecd.shape[0]
+        iota = jnp.arange(c, dtype=jnp.int32)
+        first = jax.ops.segment_min(iota, ecd, nb, indices_are_sorted=True)
+        pos = iota - first[ecd]
+        slots = jnp.full((nb, m), c, jnp.int32).at[ecd, pos].set(
+            iota, mode="drop")
+        slots_f = slots.astype(jnp.float32)
+    else:
+        slots_f = jnp.zeros((nb, 1), jnp.float32)
+    return _extremes(passes, nb, num_nodes, m, values,
                      layout.local_dst.astype(jnp.float32),
-                     layout.edge_chunk_dst.astype(jnp.float32),
-                     edge_mask.astype(jnp.float32))
+                     ecd.astype(jnp.float32),
+                     edge_mask.astype(jnp.float32),
+                     slots_f)

@@ -107,6 +107,12 @@ class MXULayout:
     # loader geometry share a compiled program.  Default 7 (= log2(TILE)) is
     # always correct.
     ext_passes: int = dataclasses.field(metadata=dict(static=True), default=7)
+    # max chunks sharing one dst block (power-of-2 ladder), for the extremes
+    # cross-chunk combine as a slot-gather + dense max instead of a
+    # segment-max (measured 0.84 ms on the PCBA batch).  0 = unknown ->
+    # extremes falls back to segment-max (always correct).
+    ext_block_chunks: int = dataclasses.field(metadata=dict(static=True),
+                                              default=0)
 
 
 # ===================================================================== host
@@ -125,6 +131,14 @@ def _ext_passes(dst: np.ndarray, edge_mask: np.ndarray) -> int:
     max_run = int(lengths.max())
     p = max(int(np.ceil(np.log2(max(max_run, 2)))), 1)
     return p if p <= 5 else 7
+
+
+def _ext_block_chunks(chunk_dst: np.ndarray, nb: int) -> int:
+    """Power-of-2 upper bound on chunks-per-dst-block (MXULayout
+    ext_block_chunks); ladder-rounded for cross-batch stability."""
+    per = np.bincount(chunk_dst, minlength=nb)
+    m = max(int(per.max()), 1)
+    return 1 << int(np.ceil(np.log2(m)))
 
 
 def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
@@ -208,6 +222,7 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
             chunk_pair[pair_chunk_order].astype(np.int32)),
         pair_covered=jnp.asarray(pair_covered),
         ext_passes=_ext_passes(dst, edge_mask),
+        ext_block_chunks=_ext_block_chunks(chunk_dst, nb),
     )
 
 

@@ -24,11 +24,12 @@ Sections of `detail`:
                 XLA lowerings were deleted in round 4; the one shipped Pallas
                 kernel (adjacency-block build, ops/pallas/adjacency.py) is
                 A/B'd in `adjacency_kernel`.
-  batch_sweep — headline layout at batch 1024/2048/8192.  Round-4 finding:
-                per-edge cost RISES with batch (adjacency-block traffic and
-                per-op constants grow while nothing amortizes — RESULTS.md
-                stage accounting); the sweep records that trend and
-                asymptote_edges_per_s is simply the best point.
+  batch_sweep — headline layout at batch 1024/2048/8192, each as ONE packed
+                batch (round-4 finding: per-edge cost RISES — nothing
+                amortizes) AND as the SHIPPED auto micro-batched execution
+                (run.py: K = ceil(batch/1024) knee-sized micro-batches in one
+                jitted step, exact batch-mean gradients) — the micro rows
+                stay ~flat where single-pack rows degrade.
   roofline    — compiled bytes-accessed and flops per step vs the v5e HBM
                 (~819 GB/s) and bf16-MXU (~197 TFLOP/s) ceilings: which bound
                 applies and how far the measured step sits from it (the
@@ -37,9 +38,13 @@ Sections of `detail`:
                 block -> cross-block adjacency pairs).
   pcba_mxu    — the biggest published workload (ogbg-molpcba config: simple,
                 hidden 70, batch 2048, virtual node,
-                configs/molecules_graph_classification_DGN_PCBA.json);
-                dominated by the max/min extremes scatter (joint pass,
-                ops/segment.py:segment_extremes).
+                configs/molecules_graph_classification_DGN_PCBA.json).  The
+                max/min extremes run the scatter-free block reduction
+                (ops/extremes.py); the legacy joint-scatter lowering and the
+                auto micro-batched execution are recorded as A/B rows.
+  eval_cache  — eval step with the batch-constant EdgeContext prebuilt
+                (Trainer eval-context reuse on fixed eval batches) vs
+                rebuilt every step.
   zinc_hidden128 — ZINC net widened to fill the MXU lanes (hidden 45 uses
                 45/128): the achievable-MFU context for the tiny canonical
                 config's number.
@@ -357,6 +362,42 @@ def bench_fat(graphs, avg_d, real_edges):
     return real_edges / step_s, step_s * 1e3, mfu
 
 
+def bench_eval_cache(graphs, avg_d, real_edges):
+    """Eval step with the batch-constant EdgeContext prebuilt (the Trainer's
+    eval-context reuse for fixed eval batches, trainer.with_edge_context) vs
+    rebuilt every step.  The context build (~0.9 ms of the 1.9 ms ZINC step,
+    RESULTS.md) is parameter-free, so eval loaders that replay fixed batches
+    skip it entirely."""
+    import jax
+    import jax.numpy as jnp
+
+    gb = pack(graphs, "mxu")
+    trainer = make_zinc_trainer(gb, avg_d, "mxu")
+    state = trainer.init_state(gb)
+    gb_ctx = trainer.with_edge_context(gb)
+
+    def scan_eval(batch):
+        @partial(jax.jit, static_argnums=(1,))
+        def run(st, n):
+            def body(acc, _):
+                scores, loss = trainer._eval_step_impl(st, batch)
+                return acc + loss * 1e-9 + jnp.sum(scores) * 1e-12, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return acc
+        return run
+
+    out = {}
+    for name, batch in (("rebuild", gb), ("cached_ctx", gb_ctx)):
+        run = scan_eval(batch)
+        it_s = slope_time(run, (state, STEPS_LO), (state, STEPS_HI))
+        out[name] = {"eval_ms": round(it_s * 1e3, 4),
+                     "edges_per_s": round(real_edges / it_s, 1)}
+        log(f"[bench] eval {name}: {it_s * 1e3:.3f} ms")
+    out["cache_speedup"] = round(out["rebuild"]["eval_ms"]
+                                 / out["cached_ctx"]["eval_ms"], 2)
+    return out
+
+
 def bench_adjacency_kernel(graphs):
     """Shipped Pallas kernel (adjacency-block build) vs its XLA lowering —
     identical inputs, per-iteration slope.  The kernel generates one-hots in
@@ -581,16 +622,22 @@ def main():
         log(f"[bench] pattern FAILED: {e}")
 
     try:
-        pcba_eps, pcba_ms, pcba_mfu = bench_pcba()
+        pcba_eps, pcba_ms, pcba_mfu, pcba_detail = bench_pcba()
         pcba = {"edges_per_s": round(pcba_eps, 1),
-                "step_ms": round(pcba_ms, 3)}
+                "step_ms": round(pcba_ms, 3), **pcba_detail}
         if pcba_mfu is not None:
             pcba["mfu_bf16_peak"] = round(pcba_mfu, 5)
         log(f"[bench] pcba/mxu: {pcba_eps / 1e6:.1f}M edges/s "
-            f"({pcba_ms:.2f} ms/step, mfu={pcba_mfu})")
+            f"({pcba_ms:.2f} ms/step, detail={pcba_detail})")
     except Exception as e:
         pcba = {"error": f"{type(e).__name__}: {e}"}
         log(f"[bench] pcba FAILED: {e}")
+
+    try:
+        eval_cache = bench_eval_cache(graphs, avg_d, real_edges)
+    except Exception as e:
+        eval_cache = {"error": f"{type(e).__name__}: {e}"}
+        log(f"[bench] eval_cache FAILED: {e}")
 
     try:
         fat_eps, fat_ms, fat_mfu = bench_fat(graphs, avg_d, real_edges)
@@ -629,6 +676,7 @@ def main():
             "batch_sweep": sweep,
             "pattern_mxu": pattern,
             "pcba_mxu": pcba,
+            "eval_cache": eval_cache,
             "zinc_hidden128": fat,
             "adjacency_kernel": adj,
             "torch_cpu_edges_per_s": round(cpu_eps, 1) if cpu_eps else None,

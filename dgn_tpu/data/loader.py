@@ -299,9 +299,15 @@ class BatchLoader:
                                mxu_layout=self.layout == "mxu",
                                n_pairs_pad=pair_pad) for p in parts]
         if self.layout == "mxu" and len(gbs) > 1:
+            # static extremes metadata must be uniform across the stack;
+            # larger values are always valid (extra passes are no-ops, extra
+            # chunk slots point at the -inf sentinel row)
             passes = max(g.mxu.ext_passes for g in gbs)
-            gbs = [g if g.mxu.ext_passes == passes else
-                   dc.replace(g, mxu=dc.replace(g.mxu, ext_passes=passes))
+            mslots = max(g.mxu.ext_block_chunks for g in gbs)
+            gbs = [g if (g.mxu.ext_passes == passes
+                         and g.mxu.ext_block_chunks == mslots) else
+                   dc.replace(g, mxu=dc.replace(g.mxu, ext_passes=passes,
+                                                ext_block_chunks=mslots))
                    for g in gbs]
         return gbs
 

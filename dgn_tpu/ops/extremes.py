@@ -133,8 +133,13 @@ def _fwd_impl(passes, nb, num_nodes, m_slots, x, dl_f, ecd_f, em_f, slots_f):
     if m_slots:
         pad_row = jnp.full((1, TILE, f2), neg, x.dtype)
         part_all = jnp.concatenate([part, pad_row], axis=0)
-        blocks = part_all[slots_f.astype(jnp.int32)]    # [nb, M, TILE, 2F]
-        outb = jnp.max(blocks, axis=1)
+        # M sequential [nb]-row gathers + running max, NOT one 4D
+        # part_all[slots] gather: XLA fused that into a [nb*M*TILE, TILE, 2F]
+        # intermediate (17.5 GB on the PCBA batch — compile-time HBM OOM)
+        slots = slots_f.astype(jnp.int32)
+        outb = part_all[slots[:, 0]]                    # [nb, TILE, 2F]
+        for mm in range(1, m_slots):
+            outb = jnp.maximum(outb, part_all[slots[:, mm]])
     else:
         outb = jax.ops.segment_max(part, ecd_f.astype(jnp.int32), nb,
                                    indices_are_sorted=True)

@@ -124,3 +124,22 @@ def test_isolated_nodes_zero():
     deg = np.asarray(gb.in_degree)
     assert np.all(mx[deg == 0] == 0) and np.all(mn[deg == 0] == 0)
     assert np.all(mx[deg > 0] < 0)   # negative maxima survive (no 0-clamp)
+
+
+def test_aggregate_nondecomposed_wiring():
+    """aggregate() (per-edge-message path) routes max/min through the block
+    reduction when a layout is present — same values as the flat path."""
+    from dgn_tpu.ops import aggregators as agg_ops
+
+    gb = _pack(synthetic.synthetic_zinc(12, seed=17))
+    ctx = agg_ops.build_edge_context(gb.eig, gb.src, gb.dst, gb.edge_mask,
+                                     gb.in_degree,
+                                     names=["mean", "max", "min"],
+                                     mxu_layout=gb.mxu)
+    msg = _vals(gb, f=5, seed=18)
+    h = jnp.zeros((gb.num_nodes_padded, 5), jnp.float32)
+    got = agg_ops.aggregate(("mean", "max", "min"), ctx, msg, h,
+                            layout=gb.mxu)
+    mx, mn = _flat(msg, gb)
+    np.testing.assert_array_equal(np.asarray(got[:, 5:10]), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(got[:, 10:15]), np.asarray(mn))

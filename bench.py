@@ -371,6 +371,10 @@ def bench_eval_cache(graphs, avg_d, real_edges):
     import jax
     import jax.numpy as jnp
 
+    import dataclasses
+
+    import jax.tree_util as jtu
+
     gb = pack(graphs, "mxu")
     trainer = make_zinc_trainer(gb, avg_d, "mxu")
     state = trainer.init_state(gb)
@@ -379,9 +383,16 @@ def bench_eval_cache(graphs, avg_d, real_edges):
     def scan_eval(batch):
         @partial(jax.jit, static_argnums=(1,))
         def run(st, n):
+            leaves, treedef = jtu.tree_flatten(st.params)
+
             def body(acc, _):
-                scores, loss = trainer._eval_step_impl(st, batch)
-                return acc + loss * 1e-9 + jnp.sum(scores) * 1e-12, None
+                # thread the carry through the params so the (otherwise
+                # loop-invariant) eval cannot be hoisted out of the scan
+                l0 = [leaves[0] + acc * 1e-30] + leaves[1:]
+                st2 = dataclasses.replace(
+                    st, params=jtu.tree_unflatten(treedef, l0))
+                scores, loss = trainer._eval_step_impl(st2, batch)
+                return loss * 1e-9 + jnp.sum(scores) * 1e-12, None
             acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return acc
         return run

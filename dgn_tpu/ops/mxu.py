@@ -133,10 +133,21 @@ def _ext_passes(dst: np.ndarray, edge_mask: np.ndarray) -> int:
     return p if p <= 5 else 7
 
 
-def _ext_block_chunks(chunk_dst: np.ndarray, nb: int) -> int:
-    """Power-of-2 upper bound on chunks-per-dst-block (MXULayout
-    ext_block_chunks); ladder-rounded for cross-batch stability."""
-    per = np.bincount(chunk_dst, minlength=nb)
+def _ext_block_chunks(chunk_dst: np.ndarray, nb: int,
+                      edge_mask: np.ndarray) -> int:
+    """Power-of-2 upper bound on REAL chunks-per-dst-block (MXULayout
+    ext_block_chunks); ladder-rounded for cross-batch stability.
+
+    Fully-padded tail chunks (e_pad slack) all carry the last node block's
+    id and sort AFTER that block's real chunks, so excluding them here is
+    enough: the extremes slot map ranks chunks in order, pad chunks get
+    ranks >= M and are dropped (they contribute only -inf anyway).  Counting
+    them inflated M from 4 to 64 under loader slack geometry — 16x the
+    combine's gather traffic."""
+    real = edge_mask.reshape(-1, TILE).any(axis=1)
+    if not real.any():
+        return 1
+    per = np.bincount(chunk_dst[real], minlength=nb)
     m = max(int(per.max()), 1)
     return 1 << int(np.ceil(np.log2(m)))
 
@@ -222,7 +233,7 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
             chunk_pair[pair_chunk_order].astype(np.int32)),
         pair_covered=jnp.asarray(pair_covered),
         ext_passes=_ext_passes(dst, edge_mask),
-        ext_block_chunks=_ext_block_chunks(chunk_dst, nb),
+        ext_block_chunks=_ext_block_chunks(chunk_dst, nb, edge_mask),
     )
 
 

@@ -143,3 +143,20 @@ def test_aggregate_nondecomposed_wiring():
     mx, mn = _flat(msg, gb)
     np.testing.assert_array_equal(np.asarray(got[:, 5:10]), np.asarray(mx))
     np.testing.assert_array_equal(np.asarray(got[:, 10:15]), np.asarray(mn))
+
+
+def test_pad_chunk_slack_does_not_inflate_combine():
+    """e_pad slack creates fully-padded tail chunks that all carry the last
+    node block's id; they must not inflate ext_block_chunks (16x combine
+    traffic under loader slack geometry) and must not corrupt results."""
+    graphs = synthetic.synthetic_zinc(16, seed=2)
+    n_pad, e_pad, g_pad = mxu_bucket_sizes(graphs, 16)
+    gb = pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad + 128 * 60,
+                     g_pad=g_pad, mxu_layout=True)
+    assert gb.mxu.ext_block_chunks <= 8, gb.mxu.ext_block_chunks
+    vals = _vals(gb, seed=9)
+    mx, mn = mxu_segment_extremes(vals, gb.mxu, gb.edge_mask,
+                                  gb.num_nodes_padded)
+    wmx, wmn = _flat(vals, gb)
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(wmx))
+    np.testing.assert_array_equal(np.asarray(mn), np.asarray(wmn))

@@ -383,14 +383,17 @@ def bench_eval_cache(graphs, avg_d, real_edges):
     def scan_eval(batch):
         @partial(jax.jit, static_argnums=(1,))
         def run(st, n):
-            leaves, treedef = jtu.tree_flatten(st.params)
-
             def body(acc, _):
-                # thread the carry through the params so the (otherwise
-                # loop-invariant) eval cannot be hoisted out of the scan
-                l0 = [leaves[0] + acc * 1e-30] + leaves[1:]
-                st2 = dataclasses.replace(
-                    st, params=jtu.tree_unflatten(treedef, l0))
+                # thread the carry through EVERY param leaf so the
+                # (otherwise loop-invariant) eval cannot be hoisted out of
+                # the scan.  Perturbing one leaf is not enough: XLA
+                # distributes broadcasted adds through the linear stages and
+                # legally hoists everything upstream of that leaf's use
+                # (observed: a head-bias perturbation left a ~0.02 ms loop).
+                # BatchNorm's variance is nonlinear in the perturbation, so
+                # from each layer's BN onward nothing can be hoisted.
+                p2 = jtu.tree_map(lambda x: x + acc * 1e-12, st.params)
+                st2 = dataclasses.replace(st, params=p2)
                 scores, loss = trainer._eval_step_impl(st2, batch)
                 return loss * 1e-9 + jnp.sum(scores) * 1e-12, None
             acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
@@ -405,7 +408,7 @@ def bench_eval_cache(graphs, avg_d, real_edges):
                      "edges_per_s": round(real_edges / it_s, 1)}
         log(f"[bench] eval {name}: {it_s * 1e3:.3f} ms")
     out["cache_speedup"] = round(out["rebuild"]["eval_ms"]
-                                 / out["cached_ctx"]["eval_ms"], 2)
+                                 / max(out["cached_ctx"]["eval_ms"], 1e-6), 2)
     return out
 
 

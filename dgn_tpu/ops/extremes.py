@@ -18,20 +18,24 @@ Forward (per [E, F] edge values x, jointly on [x, -x]):
      one fused element-wise VPU op, and molecule degrees (<= ~8) need only
      2-3 passes, vs log2(128)=7 for a degree-oblivious scan;
   2. the LAST edge of each within-chunk run now holds that (chunk, dst)'s
-     max; route those rows to their dst slot with ONE one-hot matmul
-     (HIGHEST precision so routed values are exact f32 — the backward
-     compares against them);
-  3. combine the per-chunk partials with a chunk-level segment-max
-     ([C] rows, ~100x fewer than [E] — off the per-row-bound cliff).
+     max; route those rows to their dst slot with one one-hot matmul, EXACT
+     in f32 on the MXU via _exact_einsum (3 DEFAULT passes over a manual
+     bf16 triple-split — the backward compares against the routed values);
+  3. combine the per-chunk partials into dst blocks with M sequential
+     [nb]-row slot gathers + running max (M = pad-chunk-exclusive
+     chunks-per-block bound, MXULayout.ext_block_chunks) — ~100x fewer
+     indexed rows than [E], off the per-row-bound cliff, and cheaper than
+     both a [C]-segment-max (0.84 ms measured) and a 4D slot gather (which
+     XLA fused into a 17.5 GB intermediate).
 
 Backward (custom VJP): the tie gradient of scatter-max splits EQUALLY among
 argmax edges in both XLA and torch (CLAUDE.md; ReLU makes exact-zero ties
 ubiquitous, so this is parity-critical — reference nets/aggregators.py:12-17).
 Equal split = eq/count, and under the block layout every piece is a matmul:
-gather the achieved max per edge (one-hot matmul, HIGHEST), compare, count
-ties with a block scatter-sum (one-hot matmul), gather counts back, divide.
-The round-4 equality-routed backward lost on the FLAT layout because the tie
-count needed a true scatter; here it does not.
+exact-gather the achieved max per edge, compare, count ties with a block
+scatter-sum (one-hot matmul), gather cotangents+counts back in one merged
+einsum, divide.  The round-4 equality-routed backward lost on the FLAT
+layout because the tie count needed a true scatter; here it does not.
 
 All index/mask operands cross the custom_vjp boundary as float32 arrays
 (exact for values < 2^24) because integer primals would need float0

@@ -184,7 +184,8 @@ def pack(graphs, layout, batch=None):
         n_used, e_used = pack_requirements(graphs, mxu_layout=True)
         return pack_graphs(graphs, n_pad=round_up(n_used, 128),
                            e_pad=round_up(max(e_used, 128), 128),
-                           g_pad=round_up(batch, 128), mxu_layout=True)
+                           g_pad=round_up(batch, 128), mxu_layout=True,
+                           ext_caps="batch")
     n_pad, e_pad = bucket_sizes_for(graphs, batch)
     return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=batch)
 

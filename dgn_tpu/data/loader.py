@@ -12,9 +12,9 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..graph import (GraphBatch, GraphData, bucket_sizes_for,
-                     mxu_bucket_sizes, mxu_pair_pad, mxu_pairs_needed,
-                     pack_graphs, pack_requirements, round_up,
-                     typical_bucket_sizes)
+                     mxu_bucket_sizes, mxu_ext_caps, mxu_pair_pad,
+                     mxu_pairs_needed, pack_graphs, pack_requirements,
+                     round_up, typical_bucket_sizes)
 
 
 def _worst_geometry(graphs, batch_size: int, layout: str):
@@ -55,7 +55,8 @@ def _escape_pack(batch, layout: str, g_pad: int, base_n: int, base_e: int):
     pair_pad = (round_up(mxu_pairs_needed(batch), 64)
                 if layout == "mxu" else None)
     return pack_graphs(batch, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
-                       mxu_layout=layout == "mxu", n_pairs_pad=pair_pad)
+                       mxu_layout=layout == "mxu", n_pairs_pad=pair_pad,
+                       ext_caps="batch")
 
 
 class BucketedLoader:
@@ -110,13 +111,16 @@ class BucketedLoader:
             if layout == "mxu":
                 n_pad, e_pad, _ = mxu_bucket_sizes(gs, batch_size)
                 pair_pad = mxu_pair_pad(gs, batch_size, n_pad, e_pad)
+                ext = mxu_ext_caps(gs)
             else:
                 n_pad, e_pad = bucket_sizes_for(gs, batch_size)
-                pair_pad = None
+                pair_pad = ext = None
             self.buckets.append(gs)
             self.geometry.append((n_pad, e_pad))
             self.pair_pads = getattr(self, "pair_pads", [])
             self.pair_pads.append(pair_pad)
+            self.ext_caps = getattr(self, "ext_caps", [])
+            self.ext_caps.append(ext)
 
     def __len__(self):
         total = 0
@@ -167,7 +171,8 @@ class BucketedLoader:
                 yield pack_graphs(batch,
                                   n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
                                   mxu_layout=self.layout == "mxu",
-                                  n_pairs_pad=self.pair_pads[b])
+                                  n_pairs_pad=self.pair_pads[b],
+                                  ext_caps=self.ext_caps[b])
             except ValueError:
                 self.n_escapes += 1
                 yield _escape_pack(batch, self.layout, self.g_pad,
@@ -244,6 +249,8 @@ class BatchLoader:
         self.n_pad, self.e_pad = n_pad, e_pad
         self.pair_pad = (mxu_pair_pad(self.graphs, micro, n_pad, e_pad)
                          if layout == "mxu" else None)
+        # loader-stable static extremes metadata (same pads => same treedef)
+        self.ext = mxu_ext_caps(self.graphs) if layout == "mxu" else None
         self.drop_last = drop_last
         self.cache = cache and not shuffle
         self._cached: Optional[List[GraphBatch]] = None
@@ -261,7 +268,8 @@ class BatchLoader:
             return pack_graphs(batch, n_pad=self.n_pad, e_pad=self.e_pad,
                                g_pad=self.g_pad,
                                mxu_layout=self.layout == "mxu",
-                               n_pairs_pad=self.pair_pad)
+                               n_pairs_pad=self.pair_pad,
+                               ext_caps=self.ext)
         except ValueError:
             # tight-geometry escape: repack at the batch's exact need
             # (the 'worst-case' estimate is NOT a true bound under the
@@ -274,9 +282,9 @@ class BatchLoader:
         """batch (already size-ordered) -> list of K identically-shaped
         GraphBatches, round-robin dealt so per-micro sizes balance.  All
         micros of one super-batch MUST share static layout metadata (the
-        trainer stacks them for lax.scan), so overflow escapes repack EVERY
-        micro at one shared coarse geometry, and ext_passes is unified."""
-        import dataclasses as dc
+        trainer stacks them for lax.scan): normal packs share the loader's
+        ext caps; overflow escapes repack EVERY micro at one shared coarse
+        geometry with the always-valid default ext metadata."""
         parts = [batch[k::self.micro_batches]
                  for k in range(self.micro_batches)]
         parts = [p for p in parts if p]
@@ -284,7 +292,8 @@ class BatchLoader:
             gbs = [pack_graphs(p, n_pad=self.n_pad, e_pad=self.e_pad,
                                g_pad=self.g_pad,
                                mxu_layout=self.layout == "mxu",
-                               n_pairs_pad=self.pair_pad) for p in parts]
+                               n_pairs_pad=self.pair_pad,
+                               ext_caps=self.ext) for p in parts]
         except ValueError:
             self.n_escapes += 1
             n_req = e_req = 1
@@ -297,18 +306,8 @@ class BatchLoader:
                         if self.layout == "mxu" else None)
             gbs = [pack_graphs(p, n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
                                mxu_layout=self.layout == "mxu",
-                               n_pairs_pad=pair_pad) for p in parts]
-        if self.layout == "mxu" and len(gbs) > 1:
-            # static extremes metadata must be uniform across the stack;
-            # larger values are always valid (extra passes are no-ops, extra
-            # chunk slots point at the -inf sentinel row)
-            passes = max(g.mxu.ext_passes for g in gbs)
-            mslots = max(g.mxu.ext_block_chunks for g in gbs)
-            gbs = [g if (g.mxu.ext_passes == passes
-                         and g.mxu.ext_block_chunks == mslots) else
-                   dc.replace(g, mxu=dc.replace(g.mxu, ext_passes=passes,
-                                                ext_block_chunks=mslots))
-                   for g in gbs]
+                               n_pairs_pad=pair_pad, ext_caps=None)
+                   for p in parts]
         return gbs
 
     def __iter__(self):

@@ -186,6 +186,7 @@ def pack_graphs(
     mxu_layout: bool = False,
     native: Optional[bool] = None,
     n_pairs_pad: Optional[int] = None,
+    ext_caps=None,
 ) -> GraphBatch:
     """Pack a list of graphs into one fixed-shape GraphBatch (numpy -> GraphBatch).
 
@@ -203,7 +204,7 @@ def pack_graphs(
     if mxu_layout:
         return _pack_graphs_mxu(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
                                 n_pairs_pad=n_pairs_pad,
-                                k_eig=k_eig)
+                                k_eig=k_eig, ext_caps=ext_caps)
     if native is None:
         from . import runtime as _rt
         native = _rt.available()
@@ -533,6 +534,7 @@ def _pack_graphs_mxu(
     g_pad: Optional[int],
     k_eig: Optional[int],
     n_pairs_pad: Optional[int] = None,
+    ext_caps=None,
 ) -> GraphBatch:
     """pack_graphs under the block-diagonal MXU layout (ops/mxu.py).
 
@@ -647,7 +649,8 @@ def _pack_graphs_mxu(
     np.add.at(in_degree, dst[edge_mask], 1)
 
     layout = build_mxu_layout(src, dst, edge_mask, node_graph, node_mask,
-                              n_pad, g_pad, n_pairs_pad=n_pairs_pad)
+                              n_pad, g_pad, n_pairs_pad=n_pairs_pad,
+                              ext_caps=ext_caps)
 
     return GraphBatch(
         node_feat=jnp.asarray(node_feat),
@@ -705,6 +708,32 @@ def mxu_pairs_needed(batch: Sequence[GraphData]) -> int:
     if not len(src):
         return 1
     return len(np.unique((dst // _TILE) << 32 | (src // _TILE)))
+
+
+def mxu_ext_caps(graphs: Sequence[GraphData]) -> tuple[int, int]:
+    """Loader-stable (ext_passes, ext_block_chunks) caps for batches of these
+    graphs (MXULayout static extremes metadata — every batch a loader yields
+    at one geometry must share it, like n_pairs).
+
+    ext_passes is a SOUND bound (within-chunk runs never exceed the max
+    in-degree).  ext_block_chunks is a heuristic (chunks-per-dst-block
+    depends on placement); a rare batch that exceeds it makes
+    build_mxu_layout raise and takes the loader's escape-repack path, so
+    tightness can never corrupt results.
+    """
+    maxdeg = 1
+    span = 1
+    for g in graphs:
+        if g.num_edges:
+            maxdeg = max(maxdeg, int(np.bincount(
+                np.asarray(g.dst), minlength=g.num_nodes).max()))
+        span = max(span, -(-g.num_nodes // _TILE))
+    p = max(int(np.ceil(np.log2(min(max(maxdeg, 2), _TILE)))), 1)
+    passes = p if p <= 5 else 7
+    # per dst block: <= #pairs into it + in-edges/128; heuristic margin for
+    # multi-block graphs sharing blocks (escape covers the tail)
+    m = maxdeg + 2 * span + 2
+    return passes, 1 << int(np.ceil(np.log2(m)))
 
 
 def mxu_pair_pad(graphs: Sequence[GraphData], batch_size: int,

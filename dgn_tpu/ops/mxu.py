@@ -155,11 +155,24 @@ def _ext_block_chunks(chunk_dst: np.ndarray, nb: int,
 def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
                      node_graph: np.ndarray, node_mask: np.ndarray,
                      n_pad: int, g_pad: int,
-                     n_pairs_pad: Optional[int] = None) -> MXULayout:
+                     n_pairs_pad: Optional[int] = None,
+                     ext_caps=None) -> MXULayout:
     """Derive the layout arrays from already-block-aligned packed data.
 
     Validates the block invariants (cheap, host-side) so a mis-packed batch
     fails loudly instead of silently aggregating across blocks.
+
+    ext_caps controls the STATIC extremes metadata (ext_passes /
+    ext_block_chunks), which is part of the pytree structure — batches that
+    must stack or share a compiled program (same pads) must share it:
+      None      — structure-stable conservative defaults (7 passes,
+                  segment-max combine): any two batches at the same pads get
+                  identical treedefs;
+      "batch"   — tight per-batch values (standalone single-batch use:
+                  bench, tests, escape repacks);
+      (p, m)    — loader-stable caps; raises ValueError if this batch
+                  exceeds them (the loaders escape-repack, like geometry
+                  overflow), so a too-tight cap can never corrupt results.
     """
     e_pad = len(src)
     if e_pad % TILE or n_pad % TILE or g_pad % TILE:
@@ -215,6 +228,20 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
     pair_chunk_order = np.argsort(chunk_pair, kind="stable").astype(np.int32)
     pair_covered = np.zeros(n_pairs_pad, bool)
     pair_covered[:n_real_pairs] = True
+
+    if ext_caps is None:
+        ext_passes, ext_block_chunks = 7, 0   # always-correct, shape-stable
+    elif ext_caps == "batch":
+        ext_passes = _ext_passes(dst, edge_mask)
+        ext_block_chunks = _ext_block_chunks(chunk_dst, nb, edge_mask)
+    else:
+        ext_passes, ext_block_chunks = ext_caps
+        need_p = _ext_passes(dst, edge_mask)
+        need_m = _ext_block_chunks(chunk_dst, nb, edge_mask)
+        if need_p > ext_passes or need_m > ext_block_chunks:
+            raise ValueError(
+                f"mxu ext overflow: batch needs (passes={need_p}, "
+                f"chunks={need_m}) > caps ({ext_passes}, {ext_block_chunks})")
     return MXULayout(
         local_src=jnp.asarray(local_src),
         local_dst=jnp.asarray(local_dst),
@@ -232,8 +259,8 @@ def build_mxu_layout(src: np.ndarray, dst: np.ndarray, edge_mask: np.ndarray,
         pair_sorted_ids=jnp.asarray(
             chunk_pair[pair_chunk_order].astype(np.int32)),
         pair_covered=jnp.asarray(pair_covered),
-        ext_passes=_ext_passes(dst, edge_mask),
-        ext_block_chunks=_ext_block_chunks(chunk_dst, nb, edge_mask),
+        ext_passes=ext_passes,
+        ext_block_chunks=ext_block_chunks,
     )
 
 

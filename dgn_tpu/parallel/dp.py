@@ -20,8 +20,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..graph import (GraphBatch, GraphData, bucket_sizes_for,
-                     mxu_bucket_sizes, mxu_pair_pad, mxu_pairs_needed,
-                     pack_graphs, pack_requirements, round_up)
+                     mxu_bucket_sizes, mxu_ext_caps, mxu_pair_pad,
+                     mxu_pairs_needed, pack_graphs, pack_requirements,
+                     round_up)
 from ..train.trainer import TrainState, Trainer, TrainParams, _augment
 
 
@@ -72,17 +73,21 @@ class StackedLoader:
         self.pair_pad = (mxu_pair_pad(self.graphs, per_device_batch,
                                       n_pad, e_pad)
                          if layout == "mxu" else None)
+        # shards stack into one device axis: static extremes metadata must
+        # be uniform across them (loader-stable caps; escapes use defaults)
+        self.ext = mxu_ext_caps(self.graphs) if layout == "mxu" else None
 
     def __len__(self):
         sz = self.bs * self.d
         return (len(self.graphs) + sz - 1) // sz
 
     def _pack_shard(self, gs, ghost: bool, n_pad: int, e_pad: int,
-                    pair_pad=None):
+                    pair_pad=None, escape: bool = False):
         gb = pack_graphs(gs, n_pad=n_pad, e_pad=e_pad, g_pad=self.g_pad,
                          mxu_layout=self.layout == "mxu",
                          n_pairs_pad=pair_pad if pair_pad is not None
-                         else self.pair_pad)
+                         else self.pair_pad,
+                         ext_caps=None if escape else self.ext)
         if ghost:
             gb = dataclasses.replace(
                 gb,
@@ -130,7 +135,8 @@ class StackedLoader:
                         max(max(mxu_pairs_needed(gs)
                                 for gs, _ in shard_graphs),
                             self.pair_pad), 64)
-                shards = [self._pack_shard(gs, gh, n_pad, e_pad, pair_pad)
+                shards = [self._pack_shard(gs, gh, n_pad, e_pad, pair_pad,
+                                           escape=True)
                           for gs, gh in shard_graphs]
             out = stack_batches(shards)
             if self.mesh is not None:

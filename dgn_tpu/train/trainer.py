@@ -190,9 +190,12 @@ class Trainer:
             gsum = jax.tree_util.tree_map(lambda a, g: a + w * g, gsum, grads)
             return (new_bs, gsum, lsum + w * loss, wsum + w), scores
 
+        # unroll: a straight-line program instead of a while loop — measured
+        # ~0.7 ms/micro of loop overhead on TPU otherwise (and static slices
+        # of the stacked batch fold better); K is small (auto: batch/1024)
         (new_bs, gsum, lsum, wsum), scores = jax.lax.scan(
             body, (state.batch_stats, zero_g, jnp.float32(0), jnp.float32(0)),
-            stacked)
+            stacked, unroll=min(len(gbs), 8))
         wsum = jnp.maximum(wsum, 1.0)
         grads = jax.tree_util.tree_map(lambda g: g / wsum, gsum)
         return lsum / wsum, scores, new_bs, grads

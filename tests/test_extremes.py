@@ -22,7 +22,7 @@ from dgn_tpu.ops.extremes import mxu_segment_extremes
 def _pack(graphs):
     n_pad, e_pad, g_pad = mxu_bucket_sizes(graphs, len(graphs))
     return pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad, g_pad=g_pad,
-                       mxu_layout=True)
+                       mxu_layout=True, ext_caps="batch")
 
 
 def _flat(vals, gb):
@@ -152,7 +152,7 @@ def test_pad_chunk_slack_does_not_inflate_combine():
     graphs = synthetic.synthetic_zinc(16, seed=2)
     n_pad, e_pad, g_pad = mxu_bucket_sizes(graphs, 16)
     gb = pack_graphs(graphs, n_pad=n_pad, e_pad=e_pad + 128 * 60,
-                     g_pad=g_pad, mxu_layout=True)
+                     g_pad=g_pad, mxu_layout=True, ext_caps="batch")
     assert gb.mxu.ext_block_chunks <= 8, gb.mxu.ext_block_chunks
     vals = _vals(gb, seed=9)
     mx, mn = mxu_segment_extremes(vals, gb.mxu, gb.edge_mask,
